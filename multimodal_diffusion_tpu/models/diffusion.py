@@ -1,0 +1,310 @@
+"""AVDiffusionModel — the joint audio<->video latent diffusion system (Flax).
+
+Composes the full denoiser path used by BOTH training and sampling:
+
+    latents --tokenize--> raw tokens --adapters--> width-d tokens
+      (+ modality embedding, + positional embeddings, + timestep embedding)
+      --[cfg keep-mask]--> MMDiT core --> per-modality noise heads --> eps
+
+Capability parity: reference trainer hot path (trainer.py:317-363) and
+sampler hot path (sample_clip.py:316-389).  The rebuild deliberately fixes
+reference defect SURVEY §2.12.2: the reference trainer ADDs a width-d
+timestep embedding while its sampler CONCATs a 256-d one, producing
+incompatible adapter shapes; here there is exactly ONE convention — the
+trainer's ADD — shared by both entry points, so checkpoints round-trip
+(verified in tests/test_sampler.py).
+
+Also fixes §2.12.6: `ModalityEmbedding` and positional embeddings from
+models/adapters.py are the real hot path (gated by `embeddings.*` config keys
+the reference parsed but ignored).
+
+Parameter tree is keyed {vid_vae, aud_codec, adapt_v, adapt_a, core, head,
+embed} to preserve the reference checkpoint schema (trainer.py:407-423).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops import tokenize as tk
+from ..ops.schedule import timestep_embedding
+from .adapters import (
+    LinearAdapter,
+    ModalityEmbedding,
+    PositionalEmbedding1D,
+    PositionalEmbedding3D,
+)
+from .audio_codec import AudioCodec, AudioCodecConfig
+from .heads import MultiModalNoiseHead
+from .mmdit import MMDiT, MMDiTConfig
+from .vae_video3d import VideoVAE, VideoVAEConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class AVDiffusionConfig:
+    """Derived from the merged YAML tree (same key paths as the reference —
+    configs/mvp.yaml; see SURVEY §2.A for the canonical shape ledger)."""
+
+    width: int = 512
+    tube: Tuple[int, int, int] = (2, 4, 4)  # (t, h, w)
+    chunk: Tuple[int, int] = (4, 4)  # (length, stride)
+    vae: VideoVAEConfig = dataclasses.field(default_factory=VideoVAEConfig)
+    codec: AudioCodecConfig = dataclasses.field(default_factory=AudioCodecConfig)
+    core: MMDiTConfig = dataclasses.field(default_factory=MMDiTConfig)
+    head_hidden: int = 512
+    head_dropout: float = 0.1
+    head_activation: str = "gelu"
+    out_dim_v: int = 256
+    out_dim_a: int = 32
+    timestep_dim: int = 256  # recorded for config parity; ADD convention uses width
+    use_modality_embed: bool = True
+    posenc_video: str = "learned_3d"  # "learned_3d" | "sin" | "none"
+    posenc_audio: str = "learned_1d"  # "learned_1d" | "sin" | "none"
+    dtype: Any = jnp.float32
+
+    @classmethod
+    def from_config(cls, cfg: Dict, dtype: Any = jnp.float32,
+                    remat: bool = False) -> "AVDiffusionConfig":
+        tok = cfg["tokenizer"]
+        tube = tok["video"]["tube"]
+        chunk = tok["audio"]["chunk"]
+        heads = cfg["model"]["heads"]
+        emb = cfg.get("embeddings", {})
+        posenc = emb.get("posenc", {})
+        return cls(
+            width=int(tok["width"]),
+            tube=(int(tube["t"]), int(tube["h"]), int(tube["w"])),
+            chunk=(int(chunk["length"]), int(chunk["stride"])),
+            vae=VideoVAEConfig.from_dict(cfg["video"], dtype=dtype),
+            codec=AudioCodecConfig.from_dict(cfg["audio"], dtype=dtype),
+            core=MMDiTConfig.from_dict(cfg["model"]["core"], dtype=dtype,
+                                       remat=remat),
+            head_hidden=int(heads["video"]["hidden_dim"]),
+            head_dropout=float(cfg["model"]["core"].get("dropout", 0.1)),
+            head_activation=heads["video"].get("activation", "gelu"),
+            out_dim_v=int(heads["video"]["out_dim"]),
+            out_dim_a=int(heads["audio"]["out_dim"]),
+            timestep_dim=int(emb.get("timestep_dim", 256)),
+            use_modality_embed=bool(emb.get("use_modality_embed", True)),
+            posenc_video=str(posenc.get("video", "learned_3d")),
+            posenc_audio=str(posenc.get("audio", "learned_1d")),
+            dtype=dtype,
+        )
+
+    @property
+    def token_dim_video(self) -> int:
+        t, h, w = self.tube
+        return self.vae.lat_ch * t * h * w
+
+    @property
+    def token_dim_audio(self) -> int:
+        return self.codec.lat_ch * self.chunk[0]
+
+
+class _Embeddings(nn.Module):
+    """Modality + positional embeddings, grouped under one param key."""
+
+    cfg: AVDiffusionConfig
+
+    def setup(self):
+        c = self.cfg
+        if c.use_modality_embed:
+            self.modality = ModalityEmbedding(c.width, dtype=c.dtype)
+        if c.posenc_video != "none":
+            self.pos_v = PositionalEmbedding3D(
+                c.width,
+                mode="learned" if c.posenc_video.startswith("learned") else "sin",
+                dtype=c.dtype,
+            )
+        if c.posenc_audio != "none":
+            self.pos_a = PositionalEmbedding1D(
+                c.width,
+                mode="learned" if c.posenc_audio.startswith("learned") else "sin",
+                dtype=c.dtype,
+            )
+
+    def __call__(
+        self, Xv: jnp.ndarray, Xa: jnp.ndarray, video_grid: Tuple[int, int, int]
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        c = self.cfg
+        if c.use_modality_embed:
+            Xv = self.modality(Xv, "video")
+            Xa = self.modality(Xa, "audio")
+        if c.posenc_video != "none":
+            Xv = Xv + self.pos_v(*video_grid)
+        if c.posenc_audio != "none":
+            Xa = Xa + self.pos_a(Xa.shape[1])
+        return Xv, Xa
+
+
+class AVDiffusionModel(nn.Module):
+    cfg: AVDiffusionConfig
+
+    def setup(self):
+        c = self.cfg
+        self.vid_vae = VideoVAE(c.vae)
+        self.aud_codec = AudioCodec(c.codec)
+        self.adapt_v = LinearAdapter(c.width, dtype=c.dtype)
+        self.adapt_a = LinearAdapter(c.width, dtype=c.dtype)
+        self.embed = _Embeddings(c)
+        self.core = MMDiT(c.core)
+        self.head = MultiModalNoiseHead(
+            output_dims={"video": c.out_dim_v, "audio": c.out_dim_a},
+            hidden_dim=c.head_hidden,
+            num_shared_layers=2,
+            num_modality_specific_layers=1,
+            dropout=c.head_dropout,
+            activation=c.head_activation,
+            dtype=c.dtype,
+        )
+
+    # ------------------ codec passthroughs ------------------
+
+    def encode_video(self, x: jnp.ndarray, rng: Optional[jax.Array] = None):
+        return self.vid_vae.encode(x, rng)
+
+    def decode_video(self, z: jnp.ndarray, out_size=None):
+        return self.vid_vae.decode(z, out_size)
+
+    def encode_audio(self, wav: jnp.ndarray):
+        return self.aud_codec.encode(wav)
+
+    def decode_audio(self, z: jnp.ndarray):
+        return self.aud_codec.decode(z)
+
+    # ------------------ tokenization (static shims) ------------------
+
+    def tokenize_video(self, z_v: jnp.ndarray) -> jnp.ndarray:
+        t, h, w = self.cfg.tube
+        return tk.tube_patch_video(z_v, t, h, w)
+
+    def tokenize_audio(self, z_a: jnp.ndarray) -> jnp.ndarray:
+        l, s = self.cfg.chunk
+        return tk.audio_tokens_from_latent(z_a, l, s)
+
+    def untokenize_video(self, tok: jnp.ndarray, latent_shape) -> jnp.ndarray:
+        t, h, w = self.cfg.tube
+        _, C, T, H, W = latent_shape
+        return tk.tube_unpatch_video(tok, C, T, H, W, t, h, w)
+
+    def untokenize_audio(self, tok: jnp.ndarray, latent_shape) -> jnp.ndarray:
+        l, s = self.cfg.chunk
+        _, C, F = latent_shape
+        return tk.audio_latent_from_tokens(tok, C, l, F, s)
+
+    # ------------------ denoiser ------------------
+
+    def embed_tokens(
+        self,
+        tok_v: jnp.ndarray,  # [B, Nv, Dv] raw video tokens
+        tok_a: jnp.ndarray,  # [B, Na, Da] raw audio tokens
+        t_v: jnp.ndarray,  # [B] int timesteps
+        t_a: jnp.ndarray,  # [B]
+        video_grid: Tuple[int, int, int],
+        keep_v: Optional[jnp.ndarray] = None,  # [B] 0/1 CFG keep multipliers
+        keep_a: Optional[jnp.ndarray] = None,
+    ) -> Tuple[jnp.ndarray, int]:
+        """Project + embed + timestep-ADD + CFG keep-mask; returns (X, Nv).
+
+        The keep multiplier is applied AFTER all embeddings, matching the
+        reference's zeroing of fully-embedded tokens (trainer.py:341-349,
+        sample_clip.py:338,377)."""
+        c = self.cfg
+        Xv = self.adapt_v(tok_v)
+        Xa = self.adapt_a(tok_a)
+        Xv, Xa = self.embed(Xv, Xa, video_grid)
+        # ADD width-d sinusoidal timestep embedding (trainer convention,
+        # trainer.py:45-49); fp32 table cast to compute dtype.
+        Xv = Xv + timestep_embedding(t_v, c.width).astype(Xv.dtype)[:, None, :]
+        Xa = Xa + timestep_embedding(t_a, c.width).astype(Xa.dtype)[:, None, :]
+        if keep_v is not None:
+            Xv = Xv * keep_v.astype(Xv.dtype)[:, None, None]
+        if keep_a is not None:
+            Xa = Xa * keep_a.astype(Xa.dtype)[:, None, None]
+        return jnp.concatenate([Xv, Xa], axis=1), Xv.shape[1]
+
+    def denoise_tokens(
+        self,
+        tok_v: jnp.ndarray,
+        tok_a: jnp.ndarray,
+        t_v: jnp.ndarray,
+        t_a: jnp.ndarray,
+        video_grid: Tuple[int, int, int],
+        keep_v: Optional[jnp.ndarray] = None,
+        keep_a: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> Dict[str, jnp.ndarray]:
+        """Full denoiser pass; returns eps-hats and contextualized features
+        {'eps_v', 'eps_a', 'h_v', 'h_a'} (h_* feed the alignment loss)."""
+        X, Nv = self.embed_tokens(tok_v, tok_a, t_v, t_a, video_grid, keep_v, keep_a)
+        H = self.core(X, deterministic=deterministic)
+        Hv, Ha = H[:, :Nv, :], H[:, Nv:, :]
+        eps = self.head({"video": Hv, "audio": Ha}, deterministic=deterministic)
+        return {"eps_v": eps["video"], "eps_a": eps["audio"], "h_v": Hv, "h_a": Ha}
+
+    def denoise_latents(
+        self,
+        z_v: jnp.ndarray,  # [B, Cv, T', H', W'] noised video latent
+        z_a: jnp.ndarray,  # [B, Ca, Fa] noised audio latent
+        t_v: jnp.ndarray,
+        t_a: jnp.ndarray,
+        keep_v: Optional[jnp.ndarray] = None,
+        keep_a: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> Dict[str, jnp.ndarray]:
+        """Latent-space wrapper: tokenize -> denoise -> fold eps back to latent
+        shapes.  Returns {'eps_v' [lat], 'eps_a' [lat], 'h_v', 'h_a'}."""
+        t, h, w = self.cfg.tube
+        grid = (z_v.shape[2] // t, z_v.shape[3] // h, z_v.shape[4] // w)
+        out = self.denoise_tokens(
+            self.tokenize_video(z_v),
+            self.tokenize_audio(z_a),
+            t_v, t_a, grid, keep_v, keep_a, deterministic,
+        )
+        return {
+            "eps_v": self.untokenize_video(out["eps_v"], z_v.shape),
+            "eps_a": self.untokenize_audio(out["eps_a"], z_a.shape),
+            "h_v": out["h_v"],
+            "h_a": out["h_a"],
+        }
+
+    def __call__(
+        self,
+        video: jnp.ndarray,  # [B, 3, T, H, W]
+        audio: jnp.ndarray,  # [B, 1, L]
+        t_v: jnp.ndarray,
+        t_a: jnp.ndarray,
+        noise_v: jnp.ndarray,  # [B, Cv, T', H', W'] (pre-drawn latent noise)
+        noise_a: jnp.ndarray,  # [B, Ca, Fa]
+        alpha_bar_v: jnp.ndarray,
+        alpha_bar_a: jnp.ndarray,
+        keep_v: Optional[jnp.ndarray] = None,
+        keep_a: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> Dict[str, jnp.ndarray]:
+        """End-to-end training forward: encode -> q_sample -> denoise.
+
+        Used for module init and by train/trainer.py; returns token-space
+        eps-hats AND token-space true eps (the loss lives in token space like
+        the reference, trainer.py:317-370)."""
+        from ..ops.schedule import q_sample
+
+        z_v0 = self.encode_video(video)
+        z_a0 = self.encode_audio(audio)
+        z_vt, eps_v = q_sample(z_v0, t_v, alpha_bar_v, eps=noise_v)
+        z_at, eps_a = q_sample(z_a0, t_a, alpha_bar_a, eps=noise_a)
+        t, h, w = self.cfg.tube
+        grid = (z_vt.shape[2] // t, z_vt.shape[3] // h, z_vt.shape[4] // w)
+        out = self.denoise_tokens(
+            self.tokenize_video(z_vt),
+            self.tokenize_audio(z_at),
+            t_v, t_a, grid, keep_v, keep_a, deterministic,
+        )
+        out["eps_true_v"] = self.tokenize_video(eps_v)
+        out["eps_true_a"] = self.tokenize_audio(eps_a)
+        return out

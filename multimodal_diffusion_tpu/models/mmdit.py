@@ -1,0 +1,289 @@
+"""MMDiT — multimodal diffusion transformer core (Flax).
+
+Capability parity with the reference `avdiff/models/mmdt.py` (MMDiT at
+mmdt.py:116-149): a modality-agnostic pre-norm transformer encoder over the
+concatenated [video; audio] token sequence, with RMSNorm/LayerNorm choice,
+optional train-time stochastic token dropout, key-padding-mask support, and a
+final norm.  Config surface matches (d_model/n_layers/n_heads/mlp_ratio/
+dropout/attn_dropout/norm/rope/token_dropout); unlike the reference, the
+`rope` flag is actually implemented (rotary position embedding on q/k).
+
+TPU-first design notes
+----------------------
+  * computation dtype is configurable (bf16 on TPU, params stay fp32);
+    norm statistics and attention softmax always run fp32.
+  * attention dispatches to a blockwise Pallas flash kernel on TPU for long
+    sequences (ops/attention.py), plain fused-XLA einsum otherwise.
+  * all Dense kernels carry flax logical-axis annotations ('embed', 'heads',
+    'mlp') so parallel/sharding.py can map them onto a ('data','model') mesh
+    for tensor parallelism without touching model code.
+  * per-block remat (`jax.checkpoint`) is available via `remat=True` for
+    batched-CFG sampling / long-window memory headroom (SURVEY §7 hard parts).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import multi_head_attention, padding_bias
+
+Dtype = Any
+
+# logical axis annotations; parallel/sharding.py maps these to mesh axes.
+def _dense_init(*logical_axes: str):
+    return nn.with_logical_partitioning(
+        nn.initializers.xavier_uniform(), logical_axes
+    )
+
+
+def _zeros_init(*logical_axes: str):
+    return nn.with_logical_partitioning(nn.initializers.zeros_init(), logical_axes)
+
+
+class RMSNorm(nn.Module):
+    """RMS norm matching the reference formula exactly (mmdt.py:33-42):
+    y = scale * x / (sqrt(mean(x^2)) + eps).  Note the eps sits *outside*
+    the sqrt, unlike most RMSNorm implementations."""
+
+    eps: float = 1e-6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        d = x.shape[-1]
+        scale = self.param(
+            "scale",
+            nn.with_logical_partitioning(nn.initializers.ones_init(), ("embed",)),
+            (d,),
+            jnp.float32,
+        )
+        xf = x.astype(jnp.float32)
+        # +1e-12 under the sqrt: forward-identical to the reference at any
+        # realistic magnitude, but keeps the gradient finite at x == 0 —
+        # CFG condition-drop feeds exactly-zero token rows through this norm
+        # (torch's x.norm() special-cases the zero subgradient; jnp.sqrt
+        # does not and yields 0 * inf = NaN without the guard).
+        norm = jnp.sqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + 1e-12)
+        out = scale * xf / (norm + self.eps)
+        return out.astype(self.dtype)
+
+
+def make_norm(kind: str, dtype: Dtype) -> nn.Module:
+    if kind.lower() == "rmsnorm":
+        return RMSNorm(dtype=dtype)
+    return nn.LayerNorm(dtype=dtype, param_dtype=jnp.float32)
+
+
+def rotary_embed(q: jnp.ndarray, k: jnp.ndarray, max_period: float = 10_000.0):
+    """Rotary position embedding over the sequence axis of [B, H, N, Dh]."""
+    Dh = q.shape[-1]
+    half = Dh // 2
+    freqs = 1.0 / (max_period ** (jnp.arange(half, dtype=jnp.float32) / half))
+    pos = jnp.arange(q.shape[-2], dtype=jnp.float32)
+    ang = pos[:, None] * freqs[None, :]  # [N, half]
+    cos, sin = jnp.cos(ang), jnp.sin(ang)
+
+    def rot(x):
+        x1, x2 = x[..., :half], x[..., half : 2 * half]
+        xr1 = x1 * cos - x2 * sin
+        xr2 = x1 * sin + x2 * cos
+        return jnp.concatenate([xr1, xr2, x[..., 2 * half :]], axis=-1).astype(x.dtype)
+
+    return rot(q), rot(k)
+
+
+class Attention(nn.Module):
+    """Self-attention with fused QKV projection (torch MultiheadAttention
+    semantics: joint in-proj, out-proj, biases — reference mmdt.py:51-61)."""
+
+    n_heads: int
+    attn_dropout: float = 0.0
+    resid_dropout: float = 0.0
+    rope: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        bias: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        B, N, d = x.shape
+        if d % self.n_heads:
+            raise ValueError(f"d_model {d} not divisible by n_heads {self.n_heads}")
+        Dh = d // self.n_heads
+
+        qkv = nn.Dense(
+            3 * d,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=_dense_init("embed", "heads"),
+            bias_init=_zeros_init("heads"),
+            name="qkv",
+        )(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(t):  # [B, N, d] -> [B, H, N, Dh]
+            return t.reshape(B, N, self.n_heads, Dh).transpose(0, 2, 1, 3)
+
+        q, k, v = heads(q), heads(k), heads(v)
+        if self.rope:
+            q, k = rotary_embed(q, k)
+
+        out = multi_head_attention(q, k, v, bias)
+        out = out.transpose(0, 2, 1, 3).reshape(B, N, d)
+        out = nn.Dense(
+            d,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=_dense_init("heads", "embed"),
+            bias_init=_zeros_init("embed"),
+            name="out",
+        )(out)
+        return nn.Dropout(self.resid_dropout)(out, deterministic=deterministic)
+
+
+class MLP(nn.Module):
+    """GELU MLP (reference mmdt.py:66-83), hidden dim sharded over 'model'."""
+
+    mlp_ratio: float = 4.0
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        d = x.shape[-1]
+        hidden = int(d * self.mlp_ratio)
+        h = nn.Dense(
+            hidden,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=_dense_init("embed", "mlp"),
+            bias_init=_zeros_init("mlp"),
+            name="fc1",
+        )(x)
+        h = nn.gelu(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = nn.Dense(
+            d,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=_dense_init("mlp", "embed"),
+            bias_init=_zeros_init("embed"),
+            name="fc2",
+        )(h)
+        return nn.Dropout(self.dropout)(h, deterministic=deterministic)
+
+
+class Block(nn.Module):
+    """Pre-norm residual block: x + attn(norm(x)); x + mlp(norm(x))."""
+
+    n_heads: int
+    mlp_ratio: float
+    dropout: float
+    attn_dropout: float
+    norm: str
+    rope: bool
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        bias: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        x = nn.with_logical_constraint(x, ("batch", "seq", "embed"))
+        x = x + Attention(
+            self.n_heads,
+            attn_dropout=self.attn_dropout,
+            resid_dropout=self.dropout,
+            rope=self.rope,
+            dtype=self.dtype,
+            name="attn",
+        )(make_norm(self.norm, self.dtype)(x), bias, deterministic)
+        x = x + MLP(self.mlp_ratio, self.dropout, dtype=self.dtype, name="mlp")(
+            make_norm(self.norm, self.dtype)(x), deterministic
+        )
+        return nn.with_logical_constraint(x, ("batch", "seq", "embed"))
+
+
+@dataclasses.dataclass(frozen=True)
+class MMDiTConfig:
+    """Mirrors the reference MMDiTCfg defaults (mmdt.py:104-114)."""
+
+    d_model: int = 1024
+    n_layers: int = 16
+    n_heads: int = 16
+    mlp_ratio: float = 4.0
+    dropout: float = 0.1
+    attn_dropout: float = 0.0
+    norm: str = "rmsnorm"
+    rope: bool = False
+    token_dropout: float = 0.0
+    dtype: Any = jnp.float32
+    remat: bool = False
+
+    @classmethod
+    def from_dict(cls, d: dict, **overrides) -> "MMDiTConfig":
+        known = {f.name for f in dataclasses.fields(cls)}
+        kw = {k: v for k, v in d.items() if k in known}
+        kw.update(overrides)
+        return cls(**kw)
+
+
+class MMDiT(nn.Module):
+    """Stack of self-attention blocks over the concatenated token sequence.
+
+    __call__(x [B, N, d], key_padding_mask [B, N] bool True=PAD) -> [B, N, d].
+    """
+
+    cfg: MMDiTConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        key_padding_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        cfg = self.cfg
+        if x.shape[-1] != cfg.d_model:
+            raise ValueError(f"expected width {cfg.d_model}, got {x.shape[-1]}")
+        x = x.astype(cfg.dtype)
+
+        if not deterministic and cfg.token_dropout > 0.0:
+            # stochastic token dropout: zero whole tokens (reference
+            # mmdt.py:139-143)
+            rng = self.make_rng("dropout")
+            keep = (
+                jax.random.uniform(rng, x.shape[:2]) > cfg.token_dropout
+            ).astype(x.dtype)
+            x = x * keep[..., None]
+
+        bias = None
+        if key_padding_mask is not None:
+            bias = padding_bias(key_padding_mask, cfg.n_heads)
+
+        block_cls = Block
+        if cfg.remat:
+            block_cls = nn.remat(Block, static_argnums=(3,))
+        for i in range(cfg.n_layers):
+            x = block_cls(
+                cfg.n_heads,
+                cfg.mlp_ratio,
+                cfg.dropout,
+                cfg.attn_dropout,
+                cfg.norm,
+                cfg.rope,
+                dtype=cfg.dtype,
+                name=f"block_{i}",
+            )(x, bias, deterministic)
+
+        return make_norm(cfg.norm, cfg.dtype)(x)

@@ -1,0 +1,81 @@
+"""Multi-head attention compute op.
+
+Two interchangeable backends behind one functional interface:
+
+  * `mha_reference` — plain jnp einsum attention.  XLA already fuses the
+    softmax chain well at short sequence lengths (the mvp workload is
+    Nv+Na = 133 tokens, SURVEY §2.A), and on CPU this is the only path.
+  * `flash_attention` (ops/flash_attention.py) — blockwise Pallas TPU kernel
+    (online softmax, VMEM-tiled) used automatically on TPU when the padded
+    sequence length crosses `FLASH_MIN_SEQ`, so streaming windows can grow
+    with memory-linear cost (SURVEY §5 long-context note).
+
+Softmax statistics are computed in fp32 regardless of input dtype.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+# below this (padded) sequence length the plain XLA path is faster than
+# paying pallas_call overhead; flash attention shines on long windows.
+FLASH_MIN_SEQ = 1024
+
+
+def mha_reference(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Scaled dot-product attention.
+
+    q, k, v: [B, H, N, Dh];  bias: broadcastable to [B, H, N, N] (additive,
+    -inf to mask).  Returns [B, H, N, Dh] in q.dtype.
+    """
+    dtype = q.dtype
+    scale = 1.0 / jnp.sqrt(jnp.asarray(q.shape[-1], jnp.float32))
+    logits = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhnm,bhmd->bhnd", probs.astype(dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(dtype)
+
+
+def multi_head_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    *,
+    use_flash: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Dispatch between the Pallas flash kernel and the XLA reference path.
+
+    `use_flash=None` auto-selects: TPU backend AND seq >= FLASH_MIN_SEQ AND
+    no arbitrary bias (the flash kernel supports key-padding masks only).
+    """
+    if use_flash is None:
+        on_tpu = jax.default_backend() == "tpu"
+        use_flash = on_tpu and q.shape[-2] >= FLASH_MIN_SEQ and bias is None
+    if use_flash:
+        from .flash_attention import flash_attention
+
+        return flash_attention(q, k, v)
+    return mha_reference(q, k, v, bias)
+
+
+def padding_bias(key_padding_mask: jnp.ndarray, n_heads: int) -> jnp.ndarray:
+    """[B, N] bool (True = PAD) -> additive bias [B, 1, 1, N] with -inf at pads.
+
+    Matches torch MultiheadAttention key_padding_mask semantics
+    (reference mmdt.py:58-61): padded *keys* are unattendable by every query.
+    """
+    neg = jnp.asarray(-1e30, jnp.float32)
+    return jnp.where(key_padding_mask[:, None, None, :], neg, 0.0)

@@ -1,0 +1,193 @@
+"""Diffusion schedule math — pure jnp, always fp32.
+
+Numerically matched to the reference implementation
+(`avdiff/utils/schedule_utils.py:14-200`): the cosine schedule is
+Nichol & Dhariwal (s=0.008) with betas clipped to [1e-8, 0.999]; q_sample is
+x_t = sqrt(a_bar_t) x0 + sqrt(1 - a_bar_t) eps; the DDIM step is the
+x0-prediction form with a_bar(-1) = 1 and the same clamp constants.  Golden
+tests in tests/test_schedule.py verify agreement with independently computed
+values at fp32.
+
+All functions are trace-safe (no data-dependent Python control flow) so they
+can live inside `jit`/`lax.scan`.  Schedule *construction* is host-side numpy
+(static per config); the per-step math is jnp.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# beta schedules (host-side: static per config, tiny arrays)
+# ---------------------------------------------------------------------------
+
+
+def make_beta_schedule(
+    steps: int,
+    kind: str = "cosine",
+    min_beta: float = 1e-4,
+    max_beta: float = 2e-2,
+) -> np.ndarray:
+    """Return betas[t], t = 0..steps-1, as fp32 numpy.
+
+    kinds: "cosine" (Nichol-Dhariwal, s=0.008), "linear", "sigmoid".
+    Matches reference schedule_utils.py:14-49 numerically.
+    """
+    kind = kind.lower()
+    if kind == "linear":
+        betas = np.linspace(min_beta, max_beta, steps, dtype=np.float32)
+    elif kind == "sigmoid":
+        xs = np.linspace(-6.0, 6.0, steps, dtype=np.float32)
+        sig = 1.0 / (1.0 + np.exp(-xs))
+        betas = (min_beta + (max_beta - min_beta) * sig).astype(np.float32)
+    elif kind == "cosine":
+        s = 0.008
+        t = np.linspace(0.0, steps, steps + 1, dtype=np.float32)
+        f = np.cos(((t / steps + s) / (1.0 + s)) * math.pi / 2.0) ** 2
+        a_bar = f / f[0]
+        betas = (1.0 - a_bar[1:] / a_bar[:-1]).astype(np.float32)
+    else:
+        raise ValueError(f"Unknown schedule kind: {kind}")
+    return np.clip(betas, 1e-8, 0.999).astype(np.float32)
+
+
+def alphas_cumprod_from_betas(betas: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Return (alphas[t], alpha_bar[t] = cumprod alphas)."""
+    betas = np.asarray(betas, dtype=np.float32)
+    alphas = 1.0 - betas
+    return alphas, np.cumprod(alphas, axis=0).astype(np.float32)
+
+
+def make_sampling_schedule(T_train: int, T_sample: int) -> np.ndarray:
+    """Decreasing int schedule of length T_sample+1 from T_train-1 down to -1.
+
+    e.g. T_train=1000, T_sample=10 -> [999, 899, ..., 99, -1] (11 ints).
+    Matches reference schedule_utils.py:132-143 (np.round == torch.round at
+    these grids; the reference's extra "non-increasing" clamp is a no-op).
+    """
+    grid = np.linspace(T_train - 1, -1, T_sample + 1)
+    return np.round(grid).astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# timestep embedding
+# ---------------------------------------------------------------------------
+
+
+def timestep_embedding(t: jnp.ndarray, dim: int, max_period: int = 10_000) -> jnp.ndarray:
+    """Sinusoidal timestep embedding, [B] -> [B, dim], fp32.
+
+    NOTE: the reference orders halves as [cos | sin] (schedule_utils.py:64-86),
+    not the more common [sin | cos]; we keep that convention so any ported
+    weights see identical features.  Odd dims are right-padded with one zero.
+    """
+    t = t.astype(jnp.float32)
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half
+    )
+    args = t[:, None] * freqs[None, :]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+# ---------------------------------------------------------------------------
+# forward process q(x_t | x_0)
+# ---------------------------------------------------------------------------
+
+
+def _bcast_gather(table: jnp.ndarray, t: jnp.ndarray, ndim: int) -> jnp.ndarray:
+    """table[t] with trailing singleton dims so it broadcasts to an ndim array."""
+    v = table.astype(jnp.float32)[t]
+    return v.reshape(v.shape + (1,) * (ndim - v.ndim))
+
+
+def q_sample(
+    x0: jnp.ndarray,
+    t: jnp.ndarray,
+    alpha_bar: jnp.ndarray,
+    eps: Optional[jnp.ndarray] = None,
+    *,
+    key: Optional[jax.Array] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """x_t = sqrt(a_bar_t) x0 + sqrt(1 - a_bar_t) eps; returns (x_t, eps).
+
+    Pass `eps` explicitly or a PRNG `key` (JAX has no hidden RNG state).
+    Noising math runs in fp32 and is cast back to x0.dtype at the end, so
+    bf16 activations still see fp32-accurate schedule coefficients.
+    """
+    if eps is None:
+        if key is None:
+            raise ValueError("q_sample needs either `eps` or `key`")
+        eps = jax.random.normal(key, x0.shape, dtype=jnp.float32)
+    a_bar_t = _bcast_gather(alpha_bar, t, x0.ndim)
+    sqrt_ab = jnp.sqrt(a_bar_t)
+    sqrt_omb = jnp.sqrt(jnp.clip(1.0 - a_bar_t, 0.0, None))
+    x_t = sqrt_ab * x0.astype(jnp.float32) + sqrt_omb * eps.astype(jnp.float32)
+    return x_t.astype(x0.dtype), eps.astype(x0.dtype)
+
+
+# ---------------------------------------------------------------------------
+# DDIM reverse step
+# ---------------------------------------------------------------------------
+
+
+def ddim_step(
+    x_t: jnp.ndarray,
+    t_now: jnp.ndarray,
+    t_prev: jnp.ndarray,
+    eps_hat: jnp.ndarray,
+    alpha_bar: jnp.ndarray,
+    eta: float = 0.0,
+    noise: Optional[jnp.ndarray] = None,
+    *,
+    key: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """One DDIM update x_{t_prev} <- x_t (x0-prediction form).
+
+      x0_pred = (x_t - sqrt(1-a_t) eps) / sqrt(a_t)
+      sigma   = eta * sqrt((1-a_prev)/(1-a_t) * (1 - a_t/a_prev))
+      x_prev  = sqrt(a_prev) x0_pred + sqrt(1 - a_prev - sigma^2) eps + sigma z
+
+    a_bar(-1) := 1 for the final step (t_prev == -1); clamp constants match the
+    reference (schedule_utils.py:146-200).  `eta` is a static Python float, so
+    the eta == 0 branch compiles away entirely.
+    """
+    xdtype = x_t.dtype
+    x_t = x_t.astype(jnp.float32)
+    eps_hat = eps_hat.astype(jnp.float32)
+
+    a_t = _bcast_gather(alpha_bar, jnp.clip(t_now, 0, None), x_t.ndim)
+    a_prev_raw = _bcast_gather(alpha_bar, jnp.clip(t_prev, 0, None), x_t.ndim)
+    is_final = (t_prev < 0).reshape((-1,) + (1,) * (x_t.ndim - 1))
+    a_prev = jnp.where(is_final, jnp.ones_like(a_prev_raw), a_prev_raw)
+
+    sqrt_a_t = jnp.sqrt(a_t)
+    sqrt_omb_t = jnp.sqrt(jnp.clip(1.0 - a_t, 0.0, None))
+    sqrt_a_prev = jnp.sqrt(a_prev)
+
+    x0_pred = (x_t - sqrt_omb_t * eps_hat) / jnp.clip(sqrt_a_t, 1e-8, None)
+
+    if eta > 0.0:
+        frac = jnp.clip((1.0 - a_prev) / jnp.clip(1.0 - a_t, 1e-8, None), 0.0, None)
+        one_minus_ratio = jnp.clip(1.0 - a_t / jnp.clip(a_prev, 1e-8, None), 0.0, None)
+        sigma = eta * jnp.sqrt(frac * one_minus_ratio)
+        if noise is None:
+            if key is None:
+                raise ValueError("ddim_step with eta>0 needs `noise` or `key`")
+            noise = jax.random.normal(key, x_t.shape, dtype=jnp.float32)
+        stoch = sigma * noise.astype(jnp.float32)
+        coeff_eps = jnp.sqrt(jnp.clip(1.0 - a_prev - sigma**2, 0.0, None))
+    else:
+        stoch = 0.0
+        coeff_eps = jnp.sqrt(jnp.clip(1.0 - a_prev, 0.0, None))
+
+    x_prev = sqrt_a_prev * x0_pred + coeff_eps * eps_hat + stoch
+    return x_prev.astype(xdtype)

@@ -1,0 +1,66 @@
+"""Device mesh construction + logical axis rules.
+
+The reference scales with single-node DDP over NCCL (train_joint.py:28-37,
+trainer.py:206-211).  The TPU-native equivalent (SURVEY §2.B) is a
+`jax.sharding.Mesh` with named axes:
+
+  'data'  — batch (data parallel); gradient reduction compiles to an XLA
+            all-reduce riding ICI — there is no NCCL analog to port.
+  'model' — tensor parallel: attention heads + MLP hidden dims of the MMDiT
+            and the noise-head trunks are sharded here (see the logical axis
+            annotations in models/mmdit.py).
+
+Multi-host: call `jax.distributed.initialize()` before `make_mesh` (the
+train CLI does this automatically when JAX coordination env vars are set);
+`jax.devices()` then spans all hosts and the same mesh code works unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+# logical axis name -> mesh axis name (None = replicated)
+LOGICAL_RULES = (
+    ("batch", "data"),
+    ("seq", None),
+    ("embed", None),
+    ("heads", "model"),
+    ("mlp", "model"),
+    ("kv", None),
+)
+
+
+def make_mesh(
+    data: int = -1,
+    model: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a ('data', 'model') mesh.
+
+    data = -1 consumes all remaining devices after the model axis.  A single
+    device yields a trivial 1x1 mesh so every code path is mesh-agnostic.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    model = max(1, int(model))
+    if n % model:
+        raise ValueError(f"{n} devices not divisible by model={model}")
+    if data == -1:
+        data = n // model
+    if data * model != n:
+        raise ValueError(f"mesh {data}x{model} != {n} devices")
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+def make_mesh_from_config(cfg: dict, devices=None) -> Mesh:
+    par = cfg.get("parallel", {}) or {}
+    return make_mesh(
+        data=int(par.get("data", -1)),
+        model=int(par.get("model", 1)),
+        devices=devices,
+    )

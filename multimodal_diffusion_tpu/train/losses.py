@@ -1,0 +1,67 @@
+"""Training losses (jit-friendly).
+
+Parity with reference `avdiff/models/train/losses.py`:
+  * mse_targets_only (losses.py:13-28) — eps-MSE on the *target* modality
+    only.  The reference branches on a Python string; here the selector is a
+    traced 0/1 scalar so one compiled train step serves both targets without
+    recompilation (TPU/XLA: no data-dependent Python control flow).
+  * alignment_loss (losses.py:31-59) — cosine or L2 between mean-pooled
+    per-modality contextualized features, weight-gated.
+
+Improvement over the reference (defect SURVEY §2.12.8): both losses accept
+optional per-sample validity masks (`has_video`/`has_audio` from collate) so
+zero-filled missing-modality samples don't pollute the gradient.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+
+def _masked_mse(pred: jnp.ndarray, true: jnp.ndarray,
+                sample_mask: Optional[jnp.ndarray]) -> jnp.ndarray:
+    err = jnp.square(pred.astype(jnp.float32) - true.astype(jnp.float32))
+    if sample_mask is None:
+        return jnp.mean(err)
+    m = sample_mask.astype(jnp.float32)  # [B]
+    per_sample = jnp.mean(err.reshape(err.shape[0], -1), axis=-1)
+    return jnp.sum(per_sample * m) / jnp.clip(jnp.sum(m), 1.0, None)
+
+
+def mse_targets_only(
+    eps_hat_v: jnp.ndarray,
+    eps_hat_a: jnp.ndarray,
+    eps_true_v: jnp.ndarray,
+    eps_true_a: jnp.ndarray,
+    target_is_video: jnp.ndarray,  # scalar 0/1 (traced)
+    has_video: Optional[jnp.ndarray] = None,  # [B] bool
+    has_audio: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    w = target_is_video.astype(jnp.float32)
+    loss_v = _masked_mse(eps_hat_v, eps_true_v, has_video)
+    loss_a = _masked_mse(eps_hat_a, eps_true_a, has_audio)
+    return w * loss_v + (1.0 - w) * loss_a
+
+
+def alignment_loss(
+    h_video: jnp.ndarray,  # [B, Nv, d]
+    h_audio: jnp.ndarray,  # [B, Na, d]
+    weight: float = 0.0,
+    method: str = "cosine",
+) -> jnp.ndarray:
+    """`weight` is a static float: weight == 0 compiles to a constant 0."""
+    if weight <= 0.0:
+        return jnp.asarray(0.0, jnp.float32)
+    v = jnp.mean(h_video.astype(jnp.float32), axis=1)
+    a = jnp.mean(h_audio.astype(jnp.float32), axis=1)
+    if method == "cosine":
+        v = v / jnp.clip(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12, None)
+        a = a / jnp.clip(jnp.linalg.norm(a, axis=-1, keepdims=True), 1e-12, None)
+        loss = 1.0 - jnp.mean(jnp.sum(v * a, axis=-1))
+    elif method == "l2":
+        loss = jnp.mean(jnp.square(v - a))
+    else:
+        raise ValueError("Unknown alignment method")
+    return weight * loss

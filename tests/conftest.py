@@ -1,0 +1,20 @@
+"""Test configuration: force the JAX CPU backend with 8 virtual devices so
+multi-chip sharding (pjit over a Mesh) is exercised without TPU hardware
+(SURVEY.md §4: the reference has zero distributed tests; we add them).
+
+NOTE: this environment pre-imports jax via sitecustomize with
+JAX_PLATFORMS=axon (a remote-TPU tunnel), so the env var alone is latched
+before pytest starts — we must override through jax.config as well."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
