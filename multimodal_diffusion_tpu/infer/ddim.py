@@ -1,0 +1,157 @@
+"""Scan-compiled DDIM sampling with batched classifier-free guidance.
+
+Capability parity with the reference sampler loop (sample_clip.py:316-389):
+DDIM with CFG in either direction (video->audio or audio->video); the prompt
+latent is clean (embedded at t=0) and frozen, only the target latent evolves;
+null conditioning = zeroing the prompt's embedded tokens; eps-hat =
+eps_null + g * (eps_cond - eps_null).
+
+TPU-native redesign (BASELINE.md north star):
+  * the whole S-step loop is ONE `jax.lax.scan` compiled on device — zero
+    per-step host sync (the reference runs a Python loop with 2 host-synced
+    forwards per step).
+  * CFG is a *batched dual forward*: cond and null are stacked on the batch
+    axis and denoised in one fused pass, halving kernel-launch count and
+    letting the MXU see a 2B batch (reference does 2 separate core calls).
+  * the prompt's raw tokens are computed once and hoisted out of the scan
+    (the reference re-tokenizes the frozen prompt every step,
+    sample_clip.py:322-323).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.diffusion import AVDiffusionModel
+from ..ops import schedule as S
+
+
+def make_ddim_sampler(
+    model: AVDiffusionModel,
+    *,
+    target: str,  # "audio" (v2a) or "video" (a2v)
+    sched: np.ndarray,  # [S+1] ints from make_sampling_schedule
+    alpha_bar: np.ndarray,  # [T] for the TARGET modality
+    guidance_scale: float,
+    eta: float = 0.0,
+):
+    """Returns sample(params, z_prompt, z_init, rng) -> final target latent.
+
+    z_prompt: clean prompt latent (video latent if target=="audio", else
+    audio latent).  z_init: N(0, I) target latent.  Everything shape-static.
+    """
+    if target not in {"audio", "video"}:
+        raise ValueError("target must be 'audio' or 'video'")
+    sched_pairs = jnp.stack(
+        [jnp.asarray(sched[:-1], jnp.int32), jnp.asarray(sched[1:], jnp.int32)],
+        axis=1,
+    )  # [S, 2] (t_now, t_prev)
+    abar = jnp.asarray(alpha_bar, jnp.float32)
+    g = float(guidance_scale)
+
+    def sample(params, z_prompt: jnp.ndarray, z_init: jnp.ndarray,
+               rng: Optional[jax.Array] = None) -> jnp.ndarray:
+        B = z_init.shape[0]
+        var = {"params": params}
+
+        # Hoist the frozen prompt's raw tokens out of the scan.
+        if target == "audio":
+            tok_prompt = model.apply(var, z_prompt, method=model.tokenize_video)
+            t, h, w = model.cfg.tube
+            grid = (z_prompt.shape[2] // t, z_prompt.shape[3] // h,
+                    z_prompt.shape[4] // w)
+        else:
+            tok_prompt = model.apply(var, z_prompt, method=model.tokenize_audio)
+            t, h, w = model.cfg.tube
+            grid = (z_init.shape[2] // t, z_init.shape[3] // h,
+                    z_init.shape[4] // w)
+        tok_prompt2 = jnp.concatenate([tok_prompt, tok_prompt], axis=0)
+
+        # CFG keep-masks: first half = cond (keep prompt), second = null.
+        keep_prompt = jnp.concatenate(
+            [jnp.ones((B,), jnp.float32), jnp.zeros((B,), jnp.float32)]
+        )
+        keep_target = jnp.ones((2 * B,), jnp.float32)
+        t_zero = jnp.zeros((2 * B,), jnp.int32)
+
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+
+        def step(carry, tt):
+            z, key = carry
+            t_now, t_prev = tt[0], tt[1]
+            t_tgt = jnp.full((2 * B,), t_now, jnp.int32)
+
+            if target == "audio":
+                tok_tgt = model.apply(var, z, method=model.tokenize_audio)
+                tok_tgt2 = jnp.concatenate([tok_tgt, tok_tgt], axis=0)
+                out = model.apply(
+                    var, tok_prompt2, tok_tgt2, t_zero, t_tgt, grid,
+                    keep_prompt, keep_target, True,
+                    method=model.denoise_tokens,
+                )
+                eps_tok = out["eps_a"]
+            else:
+                tok_tgt = model.apply(var, z, method=model.tokenize_video)
+                tok_tgt2 = jnp.concatenate([tok_tgt, tok_tgt], axis=0)
+                out = model.apply(
+                    var, tok_tgt2, tok_prompt2, t_tgt, t_zero, grid,
+                    keep_target, keep_prompt, True,
+                    method=model.denoise_tokens,
+                )
+                eps_tok = out["eps_v"]
+
+            eps_cond, eps_null = eps_tok[:B], eps_tok[B:]
+            eps_hat_tok = eps_null + g * (eps_cond - eps_null)
+
+            if target == "audio":
+                eps_lat = model.apply(var, eps_hat_tok, z.shape,
+                                      method=model.untokenize_audio)
+            else:
+                eps_lat = model.apply(var, eps_hat_tok, z.shape,
+                                      method=model.untokenize_video)
+
+            key, sub = jax.random.split(key)
+            tb = jnp.full((B,), t_now, jnp.int32)
+            pb = jnp.full((B,), t_prev, jnp.int32)
+            if eta > 0.0:
+                noise = jax.random.normal(sub, z.shape, jnp.float32)
+                z_next = S.ddim_step(z, tb, pb, eps_lat, abar, eta=eta,
+                                     noise=noise)
+            else:
+                z_next = S.ddim_step(z, tb, pb, eps_lat, abar, eta=0.0)
+            return (z_next, key), None
+
+        (z_final, _), _ = jax.lax.scan(step, (z_init, rng), sched_pairs)
+        return z_final
+
+    return sample
+
+
+def sampler_from_config(
+    model: AVDiffusionModel, cfg: Dict, target: str
+) -> Tuple[callable, np.ndarray]:
+    """Build the jitted sampler for one direction from the merged YAML tree
+    (keys: diffusion.{video,audio}.{steps,sampler_steps,schedule,min_beta,
+    max_beta}, sampling.{ddim_eta,guidance_scale} — reference
+    sample_clip.py:241-278)."""
+    dc = cfg["diffusion"][target]
+    T_train = int(dc["steps"])
+    S_steps = int(dc["sampler_steps"])
+    betas = S.make_beta_schedule(
+        T_train, dc["schedule"], float(dc["min_beta"]), float(dc["max_beta"])
+    )
+    _, abar = S.alphas_cumprod_from_betas(betas)
+    sched = S.make_sampling_schedule(T_train, S_steps)
+    guide = float(cfg["sampling"]["guidance_scale"].get(target, 3.0))
+    eta = float(cfg["sampling"].get("ddim_eta", 0.0))
+    sample = make_ddim_sampler(
+        model, target=target, sched=sched, alpha_bar=abar,
+        guidance_scale=guide, eta=eta,
+    )
+    return jax.jit(sample), sched

@@ -1,0 +1,238 @@
+"""One-shot DDIM sampling with classifier-free guidance (V->A or A->V).
+
+Public API + CLI, parity with the reference `avdiff/models/infer/
+sample_clip.py:399-461`:
+
+  python -m multimodal_diffusion_tpu.infer.sample_clip \
+      --config configs/mvp.yaml configs/v2a.yaml \
+      --frames path/to/frames_dir --out-audio out.wav
+
+  python -m multimodal_diffusion_tpu.infer.sample_clip \
+      --config configs/mvp.yaml configs/a2v.yaml \
+      --audio clip.wav --out-frames out_frames --save-mp4 out.mp4
+
+Differences by design (all fixes of reference defects, SURVEY §2.12):
+  * checkpoints restore through the SAME schema the trainer writes (the
+    reference looked up keys the trainer never saved and silently sampled
+    with random weights, §2.12.3);
+  * the token/timestep convention matches training exactly (§2.12.2);
+  * `--ema` samples with the EMA core the reference saved but never used
+    (§2.12.7);
+  * the DDIM loop is one on-device lax.scan with batched CFG (infer/ddim.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..media.audio_io import read_wav, write_wav
+from ..media.video_io import load_frames_dir, write_frames
+from ..models.diffusion import AVDiffusionConfig, AVDiffusionModel
+from ..train.checkpoint import CheckpointManager, params_only_tree
+from ..train.trainer import compute_dtype_from_config, latent_shapes_from_config
+from ..utils.io import load_config
+from .ddim import sampler_from_config
+
+
+# ---------------------------------------------------------------------------
+# component building + checkpoint restore
+# ---------------------------------------------------------------------------
+
+
+def select_device(name: Optional[str]) -> None:
+    """Honor --device cpu (e.g. for tests); default backend otherwise."""
+    if name and name.lower() in {"cpu"}:
+        jax.config.update("jax_platforms", "cpu")
+
+
+def build_components(cfg: Dict, use_ema: bool = False):
+    """Instantiate the model and load params (checkpoint if configured, else
+    random init like the reference, sample_clip.py:112-132).
+
+    Returns (model, params)."""
+    dtype = compute_dtype_from_config(cfg)
+    model = AVDiffusionModel(AVDiffusionConfig.from_config(cfg, dtype=dtype))
+
+    params = None
+    paths = cfg.get("paths", {}) or {}
+    ckpt_path = paths.get("ckpt_path") or paths.get("ckpt")
+    if ckpt_path:
+        ckpt_path = Path(str(ckpt_path))
+        step: Optional[int] = None
+        if ckpt_path.name == "latest":
+            ckpt_dir = ckpt_path.parent
+        elif ckpt_path.name.isdigit():
+            ckpt_dir, step = ckpt_path.parent, int(ckpt_path.name)
+        else:
+            ckpt_dir = ckpt_path
+        if ckpt_dir.exists():
+            mgr = CheckpointManager(ckpt_dir)
+            if mgr.latest_step() is not None:
+                tree = mgr.restore(step)
+                params = params_only_tree(tree, use_ema=use_ema)
+                print(f"[ckpt] restored step {step if step is not None else mgr.latest_step()} "
+                      f"from {ckpt_dir} (ema={use_ema})")
+            mgr.close()
+        if params is None:
+            print(f"[warn] checkpoint path {ckpt_path} has no checkpoints; "
+                  f"sampling with random weights.")
+    else:
+        print("[info] no ckpt_path in config; sampling with random weights.")
+
+    if params is None:
+        from flax.core import meta
+
+        shapes = latent_shapes_from_config(cfg, 1)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(int(cfg.get("seed", 0)))},
+            jnp.zeros(shapes["video"], jnp.float32),
+            jnp.zeros(shapes["audio"], jnp.float32),
+            jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1,), jnp.int32),
+            jnp.zeros(shapes["z_video"], jnp.float32),
+            jnp.zeros(shapes["z_audio"], jnp.float32),
+            jnp.ones((int(cfg["diffusion"]["video"]["steps"]),), jnp.float32),
+            jnp.ones((int(cfg["diffusion"]["audio"]["steps"]),), jnp.float32),
+        )
+        params = meta.unbox(variables["params"])
+    return model, params
+
+
+# ---------------------------------------------------------------------------
+# one-shot sampling
+# ---------------------------------------------------------------------------
+
+
+def sample_one_direction(
+    *,
+    cfg: Dict,
+    model: AVDiffusionModel,
+    params,
+    prompt_modality: str,  # "video" -> generate audio; "audio" -> generate video
+    prompt_video: Optional[np.ndarray] = None,  # [T, H, W, 3] uint8
+    prompt_audio: Optional[np.ndarray] = None,  # [L] float32
+    rng: Optional[jax.Array] = None,
+) -> Dict[str, np.ndarray]:
+    """DDIM+CFG generation of the non-prompt modality.
+
+    Returns {"audio": wav float32, "sr": int} or
+            {"video": frames uint8 [T,H,W,3], "fps": int}
+    (reference sample_one_direction contract, sample_clip.py:221-394)."""
+    if prompt_modality not in {"video", "audio"}:
+        raise ValueError("prompt_modality must be 'video' or 'audio'")
+    rng = rng if rng is not None else jax.random.PRNGKey(int(cfg.get("seed", 0)))
+    var = {"params": params}
+
+    vl = cfg["video"]["latent"]
+    al = cfg["audio"]["latent"]
+    Cv, t_down, s_down = int(vl["channels"]), int(vl["t_down"]), int(vl["s_down"])
+    Ca, Fa = int(al["channels"]), int(al["frames_per_clip"])
+    sr = int(cfg["audio"]["sr"])
+    fps = int(cfg["video"]["fps"])
+    H, W = (int(x) for x in cfg["video"]["size"])
+
+    if prompt_modality == "video":
+        if prompt_video is None:
+            raise ValueError("prompt_video frames required for prompt_modality=video")
+        frames = jnp.asarray(prompt_video, jnp.float32) / 255.0  # [T,H,W,3]
+        frames = frames.transpose(3, 0, 1, 2)[None]  # [1,3,T,H,W]
+        z_v0 = model.apply(var, frames, method=model.encode_video)
+        rng, k = jax.random.split(rng)
+        z_init = jax.random.normal(k, (1, Ca, Fa), jnp.float32)
+        sample, _ = sampler_from_config(model, cfg, target="audio")
+        z_a = sample(params, z_v0, z_init, rng)
+        wav = model.apply(var, z_a, method=model.decode_audio)
+        wav = np.asarray(jax.device_get(wav), np.float32)[0, 0]
+        return {"audio": wav, "sr": sr}
+
+    if prompt_audio is None:
+        raise ValueError("prompt_audio required for prompt_modality=audio")
+    wav = jnp.asarray(prompt_audio, jnp.float32).reshape(1, 1, -1)
+    z_a0 = model.apply(var, wav, method=model.encode_audio)
+    T_in = (
+        prompt_video.shape[0]
+        if prompt_video is not None
+        else int(round(float(cfg["data"]["clip_seconds"]) * fps))
+    )
+    Tp = max(1, T_in // t_down)
+    rng, k = jax.random.split(rng)
+    z_init = jax.random.normal(k, (1, Cv, Tp, H // s_down, W // s_down), jnp.float32)
+    sample, _ = sampler_from_config(model, cfg, target="video")
+    z_v = sample(params, z_a0, z_init, rng)
+    x = model.apply(var, z_v, method=model.decode_video)  # [1,3,T,H,W] in [0,1]
+    x = np.asarray(jax.device_get(jnp.clip(x, 0, 1)))
+    frames_u8 = (x[0].transpose(1, 2, 3, 0) * 255.0).astype(np.uint8)
+    return {"video": frames_u8, "fps": fps}
+
+
+# ---------------------------------------------------------------------------
+# CLI
+# ---------------------------------------------------------------------------
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        description="One-shot DDIM sampling with CFG (V->A or A->V)."
+    )
+    ap.add_argument("--config", type=str, nargs="+", required=True,
+                    help="One or more YAML configs (merged left->right)")
+    ap.add_argument("--frames", type=Path, default=None,
+                    help="Prompt: directory of frames (for V->A)")
+    ap.add_argument("--audio", type=Path, default=None,
+                    help="Prompt: audio wav (for A->V)")
+    ap.add_argument("--out-frames", type=Path, default=None,
+                    help="Output frames directory (for A->V)")
+    ap.add_argument("--save-mp4", type=Path, default=None,
+                    help="Optional mp4 path (for A->V)")
+    ap.add_argument("--out-audio", type=Path, default=None,
+                    help="Output wav path (for V->A)")
+    ap.add_argument("--device", type=str, default=None,
+                    help="Backend override (cpu to force the CPU backend)")
+    ap.add_argument("--ema", action="store_true",
+                    help="Sample with the EMA core weights")
+    args = ap.parse_args(argv)
+
+    select_device(args.device)
+    cfg = load_config(*args.config)
+    model, params = build_components(cfg, use_ema=args.ema)
+
+    prompt_modality = cfg.get("sampling", {}).get("prompt_modality", "video")
+    if prompt_modality not in {"video", "audio"}:
+        raise ValueError("sampling.prompt_modality must be 'video' or 'audio'")
+
+    if prompt_modality == "video":
+        if args.frames is None:
+            raise SystemExit("Provide --frames for prompt_modality=video")
+        H, W = (int(x) for x in cfg["video"]["size"])
+        prompt_video = load_frames_dir(args.frames, size_hw=(H, W))
+        result = sample_one_direction(
+            cfg=cfg, model=model, params=params,
+            prompt_modality="video", prompt_video=prompt_video,
+        )
+        out = args.out_audio or Path("samples_out.wav")
+        write_wav(out, result["audio"], result["sr"])
+        print(f"[ok] wrote audio -> {out}")
+    else:
+        if args.audio is None:
+            raise SystemExit("Provide --audio for prompt_modality=audio")
+        prompt_audio, _ = read_wav(args.audio, sr=int(cfg["audio"]["sr"]))
+        result = sample_one_direction(
+            cfg=cfg, model=model, params=params,
+            prompt_modality="audio", prompt_audio=prompt_audio,
+        )
+        out_dir = args.out_frames or Path("frames_out")
+        write_frames(result["video"], out_dir, mp4_path=args.save_mp4,
+                     fps=result["fps"])
+        print(f"[ok] wrote frames -> {out_dir}")
+        if args.save_mp4:
+            print(f"[ok] wrote mp4 -> {args.save_mp4}")
+
+
+if __name__ == "__main__":
+    main()

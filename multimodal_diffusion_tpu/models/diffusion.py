@@ -296,6 +296,12 @@ class AVDiffusionModel(nn.Module):
 
         z_v0 = self.encode_video(video)
         z_a0 = self.encode_audio(audio)
+        if self.is_initializing():
+            # touch the decoders so init creates the FULL parameter tree
+            # (training never decodes, but sampling restores from the same
+            # checkpoint schema and needs decoder params present)
+            self.decode_video(z_v0)
+            self.decode_audio(z_a0)
         z_vt, eps_v = q_sample(z_v0, t_v, alpha_bar_v, eps=noise_v)
         z_at, eps_a = q_sample(z_a0, t_a, alpha_bar_a, eps=noise_a)
         t, h, w = self.cfg.tube

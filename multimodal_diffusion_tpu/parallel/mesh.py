@@ -47,13 +47,15 @@ def make_mesh(
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     model = max(1, int(model))
-    if n % model:
-        raise ValueError(f"{n} devices not divisible by model={model}")
     if data == -1:
+        if n % model:
+            raise ValueError(f"{n} devices not divisible by model={model}")
         data = n // model
-    if data * model != n:
-        raise ValueError(f"mesh {data}x{model} != {n} devices")
-    arr = np.asarray(devices).reshape(data, model)
+    if data * model > n:
+        raise ValueError(f"mesh {data}x{model} needs more than {n} devices")
+    # an explicit smaller mesh uses a device subset (useful for tests and
+    # for pinning jobs to part of a slice)
+    arr = np.asarray(devices[: data * model]).reshape(data, model)
     return Mesh(arr, axis_names=("data", "model"))
 
 

@@ -381,9 +381,25 @@ def run_training(
         step_i = int(state.step)
         if step_i >= max_steps:
             break
-        target = schedule.sample_target()
+        # target priority: collate's pick (it knows modality availability,
+        # reference CollateFn semantics trainer.py:70-77) else our schedule
+        target = batch.get("target")
+        if isinstance(target, set):
+            target = next(iter(target)) if target else "audio"
+        if target not in ("video", "audio"):
+            target = schedule.sample_target()
         tiv = jnp.asarray(1.0 if target == "video" else 0.0, jnp.float32)
-        dev_batch = shard_batch(mesh, batch)
+        host_batch = {
+            # zero-fill an entirely-missing modality (static shapes for jit);
+            # its has_* mask already excludes it from the loss
+            "video": batch["video"] if batch.get("video") is not None
+            else np.zeros(bundle.latent_shapes["video"], np.float32),
+            "audio": batch["audio"] if batch.get("audio") is not None
+            else np.zeros(bundle.latent_shapes["audio"], np.float32),
+            "has_video": batch["has_video"],
+            "has_audio": batch["has_audio"],
+        }
+        dev_batch = shard_batch(mesh, host_batch)
         state, metrics = bundle.train_step(state, dev_batch, tiv)
         pending.append(metrics)
 

@@ -1,0 +1,119 @@
+#!/usr/bin/env python3
+"""preprocess_audio.py — audio preprocessing for the AV corpus.
+
+Capability parity with the reference `scripts/preprocess_audio.py:51-302`:
+  mode=wav: resample a tree of audio files to mono target-sr WAVs (the
+            training path consumes these through the codec;
+            configs `audio.representation: "codec"`).
+  mode=mel: per-clip log-mel NPZ files + manifest, optionally aligned to a
+            video manifest's clip windows (--align-to).
+librosa/soundfile are replaced by media/audio_io (scipy-based).
+
+Usage:
+  python scripts/preprocess_audio.py --input data/audio/raw --output data/audio/wav16k \
+      --mode wav --sr 16000 [--rms-norm]
+  python scripts/preprocess_audio.py --input data/audio/wav16k --output data/audio/mel \
+      --mode mel --sr 16000 --n-mels 80 [--align-to data/video/frames/x/clips.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from multimodal_diffusion_tpu.media.audio_io import (  # noqa: E402
+    logmel, read_wav, rms_normalize, write_wav,
+)
+
+AUDIO_EXTS = {".wav", ".flac", ".mp3", ".ogg", ".m4a"}
+
+
+def iter_audio(root: Path):
+    if root.is_file():
+        yield root
+    else:
+        yield from sorted(
+            p for p in root.rglob("*") if p.suffix.lower() in AUDIO_EXTS
+        )
+
+
+def mode_wav(args) -> None:
+    n = 0
+    for src in iter_audio(args.input):
+        y, _ = read_wav(src, sr=args.sr, mono=True)
+        if args.rms_norm:
+            y = rms_normalize(y)
+        rel = src.relative_to(args.input) if not args.input.is_file() else src.name
+        dst = (args.output / rel).with_suffix(".wav")
+        write_wav(dst, y, args.sr)
+        n += 1
+    print(f"[done] wrote {n} wavs -> {args.output}")
+
+
+def mode_mel(args) -> None:
+    align = None
+    if args.align_to:
+        align = json.loads(Path(args.align_to).read_text())["clips"]
+    entries = []
+    n = 0
+    for src in iter_audio(args.input):
+        y, _ = read_wav(src, sr=args.sr, mono=True)
+        if align is not None:
+            # window audio to each aligned video clip
+            for ci, clip in enumerate(align):
+                secs = float(clip.get("clip_seconds", args.clip_seconds))
+                a = int(round(ci * secs * args.sr))
+                b = a + int(round(secs * args.sr))
+                seg = y[a:b]
+                if len(seg) == 0:
+                    break
+                if len(seg) < b - a:
+                    seg = np.pad(seg, (0, (b - a) - len(seg)))
+                M = logmel(seg, args.sr, n_fft=args.n_fft, hop=args.hop,
+                           n_mels=args.n_mels)
+                dst = args.output / f"{src.stem}_clip_{ci:04d}.npz"
+                dst.parent.mkdir(parents=True, exist_ok=True)
+                np.savez_compressed(dst, logmel=M, sr=args.sr)
+                entries.append({"mel_path": str(dst), "clip_index": ci,
+                                "source_audio": str(src)})
+                n += 1
+        else:
+            M = logmel(y, args.sr, n_fft=args.n_fft, hop=args.hop,
+                       n_mels=args.n_mels)
+            dst = args.output / f"{src.stem}.npz"
+            dst.parent.mkdir(parents=True, exist_ok=True)
+            np.savez_compressed(dst, logmel=M, sr=args.sr)
+            entries.append({"mel_path": str(dst), "source_audio": str(src)})
+            n += 1
+    (args.output / "mel_manifest.json").write_text(
+        json.dumps({"clips": entries}, indent=2)
+    )
+    print(f"[done] wrote {n} mel npz -> {args.output}")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="Audio preprocessing (wav | mel).")
+    ap.add_argument("--input", type=Path, required=True)
+    ap.add_argument("--output", type=Path, required=True)
+    ap.add_argument("--mode", type=str, default="wav", choices=["wav", "mel"])
+    ap.add_argument("--sr", type=int, default=16000)
+    ap.add_argument("--rms-norm", action="store_true")
+    ap.add_argument("--n-mels", type=int, default=80)
+    ap.add_argument("--n-fft", type=int, default=1024)
+    ap.add_argument("--hop", type=int, default=256)
+    ap.add_argument("--clip-seconds", type=float, default=3.0)
+    ap.add_argument("--align-to", type=Path, default=None,
+                    help="Video clips.json to window the audio against")
+    args = ap.parse_args(argv)
+    args.output.mkdir(parents=True, exist_ok=True)
+    (mode_wav if args.mode == "wav" else mode_mel)(args)
+
+
+if __name__ == "__main__":
+    main()
