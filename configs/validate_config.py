@@ -1,0 +1,132 @@
+#!/usr/bin/env python3
+"""Config lint CLI (parity with reference `configs/validate_config.py:60-114`):
+per-file schema of required dotted keys + value rules, with ${VAR:-default}
+expansion.  Unlike the reference (which rejected the device value its own
+mvp.yaml used — SURVEY §2.12.4), rules here match the shipped configs, and
+the same loader/expansion code path as train/infer is used.
+
+Usage: python configs/validate_config.py [mvp.yaml a2v.yaml ...]
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+from typing import Any, Callable, Dict, List, Tuple
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from multimodal_diffusion_tpu.utils.io import load_config  # noqa: E402
+
+Rule = Tuple[str, Callable[[Any], bool], str]
+
+BASE_REQUIRED = [
+    "experiment",
+    "data.clip_seconds",
+    "video.fps", "video.size", "video.latent.channels",
+    "video.latent.t_down", "video.latent.s_down",
+    "audio.sr", "audio.latent.channels", "audio.latent.frames_per_clip",
+    "tokenizer.width", "tokenizer.video.tube.t", "tokenizer.audio.chunk.length",
+    "model.core.d_model", "model.core.n_layers", "model.core.n_heads",
+    "model.heads.video.out_dim", "model.heads.audio.out_dim",
+    "diffusion.video.steps", "diffusion.audio.steps",
+    "training.optimizer.lr", "training.max_steps",
+    "sampling.guidance_scale",
+]
+
+RULES: List[Rule] = [
+    ("device", lambda v: v in {"tpu", "cpu", "cuda", "mps"},
+     "device must be tpu|cpu|cuda|mps"),
+    ("mixed_precision", lambda v: v in {"fp32", "bf16", "fp16", "bfloat16"},
+     "mixed_precision must be fp32|bf16|fp16"),
+    ("tokenizer.width", lambda v: int(v) > 0, "tokenizer.width must be > 0"),
+    ("model.core.d_model", lambda v: int(v) > 0, "d_model must be > 0"),
+    ("diffusion.video.steps", lambda v: int(v) > 1, "steps must be > 1"),
+    ("diffusion.video.schedule",
+     lambda v: v in {"cosine", "linear", "sigmoid"},
+     "schedule must be cosine|linear|sigmoid"),
+    ("training.cfg_drop_prob", lambda v: 0.0 <= float(v) <= 1.0,
+     "cfg_drop_prob in [0,1]"),
+    ("sampling.prompt_modality", lambda v: v in {"video", "audio"},
+     "prompt_modality must be video|audio"),
+    ("parallel.model", lambda v: int(v) >= 1, "parallel.model must be >= 1"),
+]
+
+CROSS_RULES = [
+    (lambda c: int(_get(c, "tokenizer.width") or 0)
+     == int(_get(c, "model.core.d_model") or -1),
+     "tokenizer.width must equal model.core.d_model"),
+    (lambda c: _get(c, "model.heads.video.out_dim") is None or
+     int(_get(c, "model.heads.video.out_dim")) ==
+     int(_get(c, "video.latent.channels"))
+     * int(_get(c, "tokenizer.video.tube.t"))
+     * int(_get(c, "tokenizer.video.tube.h"))
+     * int(_get(c, "tokenizer.video.tube.w")),
+     "heads.video.out_dim must equal Cv * tube.t * tube.h * tube.w"),
+    (lambda c: _get(c, "model.heads.audio.out_dim") is None or
+     int(_get(c, "model.heads.audio.out_dim")) ==
+     int(_get(c, "audio.latent.channels"))
+     * int(_get(c, "tokenizer.audio.chunk.length")),
+     "heads.audio.out_dim must equal Ca * chunk.length"),
+    (lambda c: int(_get(c, "model.core.d_model"))
+     % int(_get(c, "model.core.n_heads")) == 0,
+     "d_model must be divisible by n_heads"),
+]
+
+
+def _get(cfg: Dict, dotted: str):
+    cur: Any = cfg
+    for part in dotted.split("."):
+        if not isinstance(cur, dict) or part not in cur:
+            return None
+        cur = cur[part]
+    return cur
+
+
+def validate(cfg: Dict) -> List[str]:
+    errors = []
+    for key in BASE_REQUIRED:
+        if _get(cfg, key) is None:
+            errors.append(f"missing required key: {key}")
+    for key, rule, msg in RULES:
+        v = _get(cfg, key)
+        if v is not None:
+            try:
+                if not rule(v):
+                    errors.append(f"{key}={v!r}: {msg}")
+            except Exception as e:
+                errors.append(f"{key}={v!r}: {msg} ({e})")
+    if not errors:
+        for rule, msg in CROSS_RULES:
+            try:
+                if not rule(cfg):
+                    errors.append(msg)
+            except Exception:
+                pass  # cross rules only apply when their keys exist
+    return errors
+
+
+def main(argv=None) -> int:
+    paths = (argv if argv is not None else sys.argv[1:]) or [
+        str(Path(__file__).parent / "mvp.yaml")
+    ]
+    # overlays (a2v/v2a) are validated merged onto mvp like the CLIs use them
+    base = Path(__file__).parent / "mvp.yaml"
+    ok = True
+    for p in paths:
+        p = Path(p)
+        merged = [p] if p.name == "mvp.yaml" else [base, p]
+        cfg = load_config(*merged)
+        errors = validate(cfg)
+        if errors:
+            ok = False
+            print(f"[FAIL] {p}:")
+            for e in errors:
+                print(f"   - {e}")
+        else:
+            print(f"[ok] {p}")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -191,3 +191,45 @@ def ddim_step(
 
     x_prev = sqrt_a_prev * x0_pred + coeff_eps * eps_hat + stoch
     return x_prev.astype(xdtype)
+
+
+def ddpm_step(
+    x_t: jnp.ndarray,
+    t: jnp.ndarray,  # [B] int current timestep (>= 0)
+    eps_hat: jnp.ndarray,
+    betas: jnp.ndarray,
+    alpha_bar: jnp.ndarray,
+    noise: jnp.ndarray,
+    *,
+    posterior_variance: bool = True,
+) -> jnp.ndarray:
+    """One ancestral DDPM step x_{t-1} <- x_t (Ho et al. 2020, eq. 11):
+
+      mu = (x_t - beta_t / sqrt(1 - a_bar_t) * eps_hat) / sqrt(alpha_t)
+      sigma^2 = beta_tilde_t = (1 - a_bar_{t-1}) / (1 - a_bar_t) * beta_t
+                (or beta_t when posterior_variance=False)
+      x_{t-1} = mu + sigma * z   (no noise at t == 0)
+
+    Used by the pixel-space DDPM family (BASELINE config #1); the AV stack
+    samples with DDIM.  fp32 math, cast back to x_t.dtype.
+    """
+    xdtype = x_t.dtype
+    x_t = x_t.astype(jnp.float32)
+    eps_hat = eps_hat.astype(jnp.float32)
+    nd = x_t.ndim
+
+    beta_t = _bcast_gather(betas, t, nd)
+    a_t = 1.0 - beta_t
+    ab_t = _bcast_gather(alpha_bar, t, nd)
+    ab_prev_raw = _bcast_gather(alpha_bar, jnp.clip(t - 1, 0, None), nd)
+    is_t0 = (t == 0).reshape((-1,) + (1,) * (nd - 1))
+    ab_prev = jnp.where(is_t0, jnp.ones_like(ab_prev_raw), ab_prev_raw)
+
+    mean = (x_t - beta_t / jnp.sqrt(jnp.clip(1.0 - ab_t, 1e-20, None)) * eps_hat)
+    mean = mean / jnp.sqrt(a_t)
+    if posterior_variance:
+        var = (1.0 - ab_prev) / jnp.clip(1.0 - ab_t, 1e-20, None) * beta_t
+    else:
+        var = beta_t
+    sigma = jnp.where(is_t0, 0.0, jnp.sqrt(jnp.clip(var, 0.0, None)))
+    return (mean + sigma * noise.astype(jnp.float32)).astype(xdtype)
