@@ -29,14 +29,20 @@ sys.path.insert(0, str(REPO))
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
+    ap.add_argument("--task", choices=["av", "t2i"], default="av",
+                    help="av: reference-parity AV clip sampling; "
+                         "t2i: 512x512 text->image latent diffusion w/ CFG")
     ap.add_argument("--batch", type=int, default=8,
                     help="clips per device batch (throughput mode)")
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--direction", choices=["v2a", "a2v"], default="v2a")
+    ap.add_argument("--image-size", type=int, default=512)
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (debug)")
     args = ap.parse_args(argv)
+    if args.task == "t2i":
+        return bench_t2i(args)
 
     import jax
 
@@ -65,22 +71,28 @@ def main(argv=None):
     video = jax.random.uniform(rng, (B, 3, 48, 128, 128), jnp.float32)
     audio = jax.random.uniform(rng, (B, 1, 48000), jnp.float32, -1, 1)
 
-    variables = model.init(
-        {"params": rng}, z_v, z_a,
-        jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32),
-        method=model.denoise_latents,
-    )
-    # init decoders/encoders too
-    variables2 = model.init({"params": rng}, video[:1, :, :, :, :], method=model.encode_video)
-    del variables2
-    params = meta.unbox(
-        model.init(
-            {"params": rng}, video, audio,
+    # Benchmark-speed params: shapes via eval_shape (zero compute — running
+    # the real initializers for the 3-D VAE at full resolution costs minutes
+    # of one-time compile), filled with small random values; dense-op
+    # runtime is weight-value independent.
+    abstract = jax.eval_shape(
+        lambda r: model.init(
+            {"params": r}, video, audio,
             jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32),
             jnp.zeros_like(z_v), jnp.zeros_like(z_a),
             jnp.ones((1000,), jnp.float32), jnp.ones((1000,), jnp.float32),
-        )["params"]
-    )
+        ),
+        rng,
+    )["params"]
+    abstract = meta.unbox(abstract)
+    nprng = np.random.default_rng(0)
+
+    def fill(s):
+        return jnp.asarray(
+            nprng.normal(0.0, 0.02, s.shape).astype(np.float32), dtype=s.dtype
+        )
+
+    params = jax.tree_util.tree_map(fill, abstract)
 
     target = "audio" if args.direction == "v2a" else "video"
     sample, _ = sampler_from_config(model, cfg, target=target)
@@ -126,6 +138,105 @@ def main(argv=None):
         "value": round(clips_per_sec, 4),
         "unit": "clips/sec/chip",
         "vs_baseline": round(vs_baseline, 2),
+    }))
+
+
+def bench_t2i(args):
+    """512x512 (default) text->image latent diffusion, DDIM `--steps` with
+    batched cond/negative CFG forward — the BASELINE.json headline shape.
+    Reports images/sec/chip; vs_baseline stays vs the reference's measured
+    v2a clip throughput (the reference has no image pipeline at all)."""
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from flax.core import meta
+
+    from multimodal_diffusion_tpu.models.latent_text2image import (
+        Text2ImageConfig, Text2ImageModel, make_t2i_sampler,
+    )
+    from multimodal_diffusion_tpu.models.mmdit import MMDiTConfig
+    from multimodal_diffusion_tpu.models.text_encoder import (
+        TextEncoderConfig, tokenize_text,
+    )
+    from multimodal_diffusion_tpu.models.vae_image2d import ImageVAEConfig
+
+    dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    cfg = Text2ImageConfig(
+        image_size=args.image_size, patch=2, width=512,
+        vae=ImageVAEConfig(lat_ch=4, down=8, base=64, max_ch=256, dtype=dtype),
+        text=TextEncoderConfig(
+            width=256, max_len=77,
+            core=MMDiTConfig(d_model=256, n_layers=4, n_heads=4, dropout=0.0,
+                             dtype=dtype),
+            dtype=dtype,
+        ),
+        core=MMDiTConfig(d_model=512, n_layers=8, n_heads=8, dropout=0.0,
+                         dtype=dtype),
+        dtype=dtype,
+    )
+    model = Text2ImageModel(cfg)
+
+    B = args.batch
+    rng = jax.random.PRNGKey(0)
+    ids = jnp.asarray(tokenize_text(["a photo of a tpu"] * B, 77))
+    neg = jnp.asarray(tokenize_text([""] * B, 77))
+    images = jnp.zeros((B, 3, args.image_size, args.image_size), jnp.float32)
+    lat = (B, cfg.vae.lat_ch, cfg.latent_hw, cfg.latent_hw)
+    import numpy as np_
+
+    from multimodal_diffusion_tpu.ops import schedule as S
+
+    _, abar = S.alphas_cumprod_from_betas(S.make_beta_schedule(cfg.steps))
+    abstract = meta.unbox(jax.eval_shape(
+        lambda r: model.init(
+            {"params": r}, images, ids, jnp.zeros((B,), jnp.int32),
+            jnp.zeros(lat, jnp.float32), jnp.asarray(abar),
+        ),
+        rng,
+    )["params"])
+    nprng = np.random.default_rng(0)
+    params = jax.tree_util.tree_map(
+        lambda s: jnp.asarray(
+            nprng.normal(0.0, 0.02, s.shape).astype(np.float32), dtype=s.dtype
+        ),
+        abstract,
+    )
+
+    sampler = make_t2i_sampler(model, sampler_steps=args.steps,
+                               guidance_scale=5.0)
+
+    @jax.jit
+    def pipeline(params, ids, neg, key):
+        z = sampler(params, ids, neg, key)
+        return model.apply({"params": params}, z, method=model.decode_image)
+
+    out = pipeline(params, ids, neg, jax.random.PRNGKey(1))
+    jax.block_until_ready(out)
+    times = []
+    for i in range(args.repeats):
+        t0 = time.perf_counter()
+        jax.block_until_ready(
+            pipeline(params, ids, neg, jax.random.PRNGKey(2 + i))
+        )
+        times.append(time.perf_counter() - t0)
+    t_med = float(np.median(times))
+    imgs_per_sec = B / t_med
+
+    baseline_file = REPO / "BASELINE_MEASURED.json"
+    vs = 0.0
+    if baseline_file.exists():
+        base = json.loads(baseline_file.read_text())
+        ref = base["results"].get("v2a", {}).get("clips_per_sec")
+        if ref:
+            vs = imgs_per_sec / float(ref)
+    print(json.dumps({
+        "metric": f"t2i{args.image_size}_images_per_sec_{args.steps}step_"
+                  f"cfg_b{B}_{jax.default_backend()}",
+        "value": round(imgs_per_sec, 4),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(vs, 2),
     }))
 
 

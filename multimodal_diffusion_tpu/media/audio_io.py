@@ -157,6 +157,66 @@ def mfcc(
     return dct(lm, type=2, axis=0, norm="ortho")[:n_mfcc].astype(np.float32)
 
 
+def istft(spec: np.ndarray, n_fft: int = 1024, hop: int = 256,
+          length: Optional[int] = None) -> np.ndarray:
+    """Inverse STFT (complex [freqs, frames] -> waveform) with Hann OLA."""
+    win = np.hanning(n_fft).astype(np.float32)
+    frames = np.fft.irfft(spec.T, n=n_fft, axis=1).astype(np.float32)  # [T, n_fft]
+    n_frames = frames.shape[0]
+    out_len = n_fft + hop * (n_frames - 1)
+    y = np.zeros(out_len, np.float32)
+    norm = np.zeros(out_len, np.float32)
+    for i in range(n_frames):
+        a = i * hop
+        y[a : a + n_fft] += frames[i] * win
+        norm[a : a + n_fft] += win**2
+    y = y / np.maximum(norm, 1e-8)
+    pad = n_fft // 2
+    y = y[pad:-pad] if out_len > 2 * pad else y
+    if length is not None:
+        y = y[:length] if len(y) >= length else np.pad(y, (0, length - len(y)))
+    return y
+
+
+def griffin_lim(mag: np.ndarray, n_fft: int = 1024, hop: int = 256,
+                n_iter: int = 32, length: Optional[int] = None,
+                seed: int = 0) -> np.ndarray:
+    """Griffin-Lim phase reconstruction from a magnitude STFT
+    [freqs, frames] -> waveform (text->audio mel decode path,
+    BASELINE config #4)."""
+    rng = np.random.default_rng(seed)
+    angles = np.exp(2j * np.pi * rng.random(mag.shape))
+    spec = mag.astype(np.complex128) * angles
+    y = istft(spec, n_fft, hop, length)
+    for _ in range(n_iter):
+        re = stft_mag_complex(y, n_fft, hop)
+        angles = re / np.maximum(np.abs(re), 1e-16)
+        spec = mag * angles
+        y = istft(spec, n_fft, hop, length)
+    return y.astype(np.float32)
+
+
+def stft_mag_complex(y: np.ndarray, n_fft: int = 1024, hop: int = 256) -> np.ndarray:
+    """Complex STFT [freqs, frames] (centered Hann, matches stft_mag)."""
+    win = np.hanning(n_fft).astype(np.float32)
+    pad = n_fft // 2
+    y = np.pad(y.astype(np.float32), (pad, pad), mode="reflect")
+    n_frames = 1 + (len(y) - n_fft) // hop
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
+    return np.fft.rfft(y[idx] * win[None, :], axis=1).T
+
+
+def mel_to_stft_mag(mel_power: np.ndarray, sr: int, n_fft: int,
+                    n_mels: int = 80, fmin: float = 0.0,
+                    fmax: Optional[float] = None) -> np.ndarray:
+    """Approximate inverse mel projection (NNLS-lite: pseudo-inverse with
+    clipping) for the mel -> Griffin-Lim vocoder path."""
+    fb = mel_filterbank(sr, n_fft, n_mels, fmin, fmax)  # [M, F]
+    inv = np.linalg.pinv(fb)  # [F, M]
+    power = np.clip(inv @ mel_power, 0.0, None)
+    return np.sqrt(power).astype(np.float32)
+
+
 def rms_normalize(y: np.ndarray, target_dbfs: float = -23.0) -> np.ndarray:
     """Loudness normalization to a target dBFS RMS."""
     rms = np.sqrt(np.mean(np.square(y), dtype=np.float64))

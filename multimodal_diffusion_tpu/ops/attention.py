@@ -22,7 +22,10 @@ import jax.numpy as jnp
 
 # below this (padded) sequence length the plain XLA path is faster than
 # paying pallas_call overhead; flash attention shines on long windows.
-FLASH_MIN_SEQ = 1024
+# Overridable via env (MMDT_FLASH_MIN_SEQ) for benchmarking either path.
+import os as _os
+
+FLASH_MIN_SEQ = int(_os.environ.get("MMDT_FLASH_MIN_SEQ", 1024))
 
 
 def mha_reference(
