@@ -81,6 +81,15 @@ class ResBlock2D(nn.Module):
         return x + h
 
 
+def upsample2x_nearest(h: jnp.ndarray) -> jnp.ndarray:
+    """2x nearest upsampling as broadcast+reshape — a pure layout change XLA
+    fuses into the next conv.  (jax.image.resize(method='nearest') lowers to
+    gathers, which measured ~100x slower for the 512^2 decode on TPU.)"""
+    B, H, W, C = h.shape
+    h = jnp.broadcast_to(h[:, :, None, :, None, :], (B, H, 2, W, 2, C))
+    return h.reshape(B, 2 * H, 2 * W, C)
+
+
 class ImageVAE(nn.Module):
     cfg: ImageVAEConfig
 
@@ -162,8 +171,7 @@ class ImageVAE(nn.Module):
         h = self.dec_in(h)
         h = self.dec_mid(h)
         for s in reversed(range(c.n_stages)):
-            B, H, W, C = h.shape
-            h = jax.image.resize(h, (B, H * 2, W * 2, C), method="nearest")
+            h = upsample2x_nearest(h)
             h = self.dec_up[s](h)
             for blk in self.dec_blocks[s]:
                 h = blk(h)
