@@ -29,9 +29,10 @@ sys.path.insert(0, str(REPO))
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--task", choices=["av", "t2i"], default="av",
+    ap.add_argument("--task", choices=["av", "t2i", "train"], default="av",
                     help="av: reference-parity AV clip sampling; "
-                         "t2i: 512x512 text->image latent diffusion w/ CFG")
+                         "t2i: 512x512 text->image latent diffusion w/ CFG; "
+                         "train: full AV train-step throughput")
     ap.add_argument("--batch", type=int, default=8,
                     help="clips per device batch (throughput mode)")
     ap.add_argument("--steps", type=int, default=50)
@@ -43,6 +44,8 @@ def main(argv=None):
     args = ap.parse_args(argv)
     if args.task == "t2i":
         return bench_t2i(args)
+    if args.task == "train":
+        return bench_train(args)
 
     import jax
 
@@ -110,15 +113,19 @@ def main(argv=None):
         z = sample(params, z_prompt, z_init, key)
         return model.apply(var, z, method=model.decode_video)
 
+    def sync(x):
+        # force completion via a one-element host readback:
+        # block_until_ready can return early on tunneled backends
+        return float(jnp.asarray(x).ravel()[0])
+
     key = jax.random.PRNGKey(1)
-    out = pipeline(params, video, audio, key)  # compile + warmup
-    jax.block_until_ready(out)
+    sync(pipeline(params, video, audio, key))  # compile + warmup
 
     times = []
     for i in range(args.repeats):
         k = jax.random.PRNGKey(2 + i)
         t0 = time.perf_counter()
-        jax.block_until_ready(pipeline(params, video, audio, k))
+        sync(pipeline(params, video, audio, k))
         times.append(time.perf_counter() - t0)
 
     t_med = float(np.median(times))
@@ -138,6 +145,67 @@ def main(argv=None):
         "value": round(clips_per_sec, 4),
         "unit": "clips/sec/chip",
         "vs_baseline": round(vs_baseline, 2),
+    }))
+
+
+def bench_train(args):
+    """Full AV train step (encode -> q_sample -> denoise -> loss -> grad ->
+    AdamW -> EMA) at mvp config on the local device(s): clips/sec."""
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from multimodal_diffusion_tpu.train.trainer import create_trainer
+    from multimodal_diffusion_tpu.utils.io import load_config
+
+    cfg = load_config(REPO / "configs" / "mvp.yaml")
+    cfg["data"]["batch_size"] = args.batch
+    cfg["parallel"] = {"data": len(jax.devices()), "model": 1}
+
+    bundle = create_trainer(cfg)
+    B = bundle.latent_shapes["video"][0]
+    rng = np.random.default_rng(0)
+    batch = {
+        "video": rng.uniform(0, 1, bundle.latent_shapes["video"]).astype(np.float32),
+        "audio": rng.uniform(-1, 1, bundle.latent_shapes["audio"]).astype(np.float32),
+        "has_video": np.ones(B, bool),
+        "has_audio": np.ones(B, bool),
+    }
+    from multimodal_diffusion_tpu.parallel.sharding import shard_batch
+
+    dev_batch = shard_batch(bundle.mesh, batch)
+    tiv = jnp.asarray(1.0, jnp.float32)
+
+    # two warmup steps: the first compiles; the second may re-specialize
+    # once on the donated state's compiler-chosen layouts
+    state, m = bundle.train_step(bundle.state, dev_batch, tiv)
+    float(m["loss"])
+    state, m = bundle.train_step(state, dev_batch, tiv)
+    float(m["loss"])
+    n_iters = max(5, args.repeats)
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        state, m = bundle.train_step(state, dev_batch, tiv)
+    float(m["loss"])  # forced host readback — block_until_ready alone can
+    # return early on tunneled backends
+    dt = (time.perf_counter() - t0) / n_iters
+    clips_per_sec = B / dt
+
+    from multimodal_diffusion_tpu.utils.profiling import (
+        flops_mmdit_forward, mfu,
+    )
+
+    # rough MFU: denoiser fwd+bwd (3x fwd) dominates; 133 tokens at mvp
+    flops = 3 * B * flops_mmdit_forward(133, 512, 8)
+    print(json.dumps({
+        "metric": f"train_clips_per_sec_b{B}_{jax.default_backend()}",
+        "value": round(clips_per_sec, 4),
+        "unit": "clips/sec",
+        "vs_baseline": 0.0,
+        "step_ms": round(dt * 1e3, 2),
+        "denoiser_mfu_est": round(mfu(flops / dt), 4),
     }))
 
 
@@ -212,14 +280,14 @@ def bench_t2i(args):
         z = sampler(params, ids, neg, key)
         return model.apply({"params": params}, z, method=model.decode_image)
 
-    out = pipeline(params, ids, neg, jax.random.PRNGKey(1))
-    jax.block_until_ready(out)
+    def sync(x):
+        return float(jnp.asarray(x).ravel()[0])  # forced completion
+
+    sync(pipeline(params, ids, neg, jax.random.PRNGKey(1)))
     times = []
     for i in range(args.repeats):
         t0 = time.perf_counter()
-        jax.block_until_ready(
-            pipeline(params, ids, neg, jax.random.PRNGKey(2 + i))
-        )
+        sync(pipeline(params, ids, neg, jax.random.PRNGKey(2 + i)))
         times.append(time.perf_counter() - t0)
     t_med = float(np.median(times))
     imgs_per_sec = B / t_med

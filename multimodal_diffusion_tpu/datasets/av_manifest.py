@@ -34,6 +34,7 @@ class AVManifestDataset:
         sr: int = 16000,
         size_hw: Tuple[int, int] = (128, 128),
         channels: int = 3,
+        use_native: bool = True,
     ):
         self.manifest_path = Path(manifest_path)
         self.clip_seconds = float(clip_seconds)
@@ -45,6 +46,17 @@ class AVManifestDataset:
             self.items: List[Dict] = json.load(f)["clips"]
         self.T = int(round(self.fps * self.clip_seconds))
         self.L = int(round(self.sr * self.clip_seconds))
+        # native C++ fast path (JPEG decode + resize + normalize + layout in
+        # one call, threaded across frames) with automatic fallback
+        self._native = None
+        if use_native:
+            try:
+                from . import native_loader
+
+                if native_loader.available():
+                    self._native = native_loader
+            except Exception:
+                self._native = None
 
     def __len__(self) -> int:
         return len(self.items)
@@ -64,6 +76,13 @@ class AVManifestDataset:
         pick = frames[: min(len(frames), self.T)]
         if len(pick) < self.T:
             pick = pick + [frames[-1]] * (self.T - len(pick))
+        if self._native is not None and all(
+            p.suffix.lower() in (".jpg", ".jpeg") for p in pick
+        ):
+            try:
+                return self._native.decode_clip(pick, H, W)
+            except Exception:
+                pass  # fall through to the PIL path
         imgs = []
         for p in pick:
             im = Image.open(p).convert("RGB")
@@ -74,7 +93,20 @@ class AVManifestDataset:
         return np.transpose(arr, (3, 0, 1, 2))  # [3,T,H,W]
 
     def _load_wav(self, wav_path: Path) -> np.ndarray:
-        y, _ = read_wav(wav_path, sr=self.sr, mono=True)
+        y = None
+        if self._native is not None and wav_path.suffix.lower() == ".wav":
+            try:
+                y_native, src_sr = self._native.read_wav_mono(wav_path)
+                if src_sr == self.sr:
+                    y = y_native
+                else:
+                    from ..media.audio_io import resample
+
+                    y = resample(y_native, src_sr, self.sr)
+            except Exception:
+                y = None
+        if y is None:
+            y, _ = read_wav(wav_path, sr=self.sr, mono=True)
         if y.shape[0] < self.L:
             y = np.concatenate([y, np.zeros(self.L - y.shape[0], np.float32)])
         elif y.shape[0] > self.L:
@@ -111,9 +143,11 @@ class AVClipsDataset(AVManifestDataset):
         channels: int = 3,
         video_root: Optional[str] = None,
         audio_root: Optional[str] = None,
+        use_native: bool = True,
         **_ignored,
     ):
-        super().__init__(manifest_path, clip_seconds, fps, sr, size_hw, channels)
+        super().__init__(manifest_path, clip_seconds, fps, sr, size_hw,
+                         channels, use_native=use_native)
         video_root = Path(video_root) if video_root else None
         audio_root = Path(audio_root) if audio_root else None
         for it in self.items:

@@ -121,6 +121,27 @@ def make_optimizer(cfg: Dict) -> Tuple[optax.GradientTransformation, optax.Sched
     return tx, lr_sched
 
 
+def minimal_init_shapes(cfg: Dict) -> Dict[str, Tuple[int, ...]]:
+    """Smallest input shapes that exercise every parameter: batch 1, one
+    tube of video (T = t_down * tube_t, H/W = s_down * tube_h/w), audio long
+    enough to pool to frames_per_clip."""
+    vl = cfg["video"]["latent"]
+    al = cfg["audio"]["latent"]
+    tube = cfg["tokenizer"]["video"]["tube"]
+    Cv, td, sd = int(vl["channels"]), int(vl["t_down"]), int(vl["s_down"])
+    Ca, Fa = int(al["channels"]), int(al["frames_per_clip"])
+    T = td * int(tube["t"])
+    H = sd * int(tube["h"])
+    W = sd * int(tube["w"])
+    L = max(Fa, int(cfg["tokenizer"]["audio"]["chunk"]["length"]) * Fa // 4 + Fa)
+    return {
+        "video": (1, 3, T, H, W),
+        "audio": (1, 1, L),
+        "z_video": (1, Cv, T // td, H // sd, W // sd),
+        "z_audio": (1, Ca, Fa),
+    }
+
+
 def latent_shapes_from_config(cfg: Dict, batch_size: int) -> Dict[str, Tuple[int, ...]]:
     """Static latent shapes (SURVEY §2.A ledger)."""
     T = int(round(cfg["data"]["clip_seconds"] * cfg["video"]["fps"]))
@@ -275,22 +296,23 @@ def create_trainer(
     abar_v = jnp.asarray(abar_v)
     abar_a = jnp.asarray(abar_a)
 
-    # init params (host) then place them on the mesh per logical annotations
+    # Init params at MINIMAL input shapes: parameter shapes are independent
+    # of batch/T/H/W/L (convs + token models), and initializer statistics
+    # depend only on kernel fan-in — so a tiny dummy avoids compiling the
+    # full-resolution VAE forward just to draw weights (measured: 174 s at
+    # mvp scale on-device vs ~2 s minimal).
     rng = rng if rng is not None else jax.random.PRNGKey(int(cfg.get("seed", 0)))
     rng, init_rng = jax.random.split(rng)
-    dummy = {
-        "video": jnp.zeros(shapes["video"], jnp.float32),
-        "audio": jnp.zeros(shapes["audio"], jnp.float32),
-    }
-    t0 = jnp.zeros((batch_size,), jnp.int32)
+    mini = minimal_init_shapes(cfg)
+    t0 = jnp.zeros((1,), jnp.int32)
     init_fn = partial(
         model.init,
-        video=dummy["video"],
-        audio=dummy["audio"],
+        video=jnp.zeros(mini["video"], jnp.float32),
+        audio=jnp.zeros(mini["audio"], jnp.float32),
         t_v=t0,
         t_a=t0,
-        noise_v=jnp.zeros(shapes["z_video"], jnp.float32),
-        noise_a=jnp.zeros(shapes["z_audio"], jnp.float32),
+        noise_v=jnp.zeros(mini["z_video"], jnp.float32),
+        noise_a=jnp.zeros(mini["z_audio"], jnp.float32),
         alpha_bar_v=abar_v,
         alpha_bar_a=abar_a,
         deterministic=True,
@@ -307,10 +329,23 @@ def create_trainer(
 
     ema_cfg = cfg["training"].get("ema", {"use_ema": True, "decay": 0.999})
     use_ema = bool(ema_cfg.get("use_ema", True))
-    ema_core = jax.tree_util.tree_map(jnp.array, params["core"]) if use_ema else {}
+    # EMA shadow must carry the SAME committed shardings as the core params,
+    # or the second train step recompiles when the updated shadow comes back
+    # with computed shardings (measured: one 110 s re-jit without this).
+    ema_core = (
+        jax.tree_util.tree_map(
+            # copy=True: device_put of the identical array would ALIAS the
+            # param buffer, and donating state would then donate one buffer
+            # twice (runtime error)
+            lambda x, s: jax.device_put(jnp.array(x, copy=True), s),
+            params["core"], param_shardings["core"],
+        )
+        if use_ema
+        else {}
+    )
 
     state = TrainState(
-        step=jnp.asarray(0, jnp.int32),
+        step=jax.device_put(jnp.asarray(0, jnp.int32), replicated(mesh)),
         params=params,
         opt_state=opt_state,
         ema_core=ema_core,
