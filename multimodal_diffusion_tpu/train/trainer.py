@@ -412,6 +412,29 @@ def run_training(
     mesh = bundle.mesh
     pending = []  # (step, metrics) not yet logged
     t_last = time.perf_counter()
+
+    # MFU accounting (SURVEY §5: the reference has no perf observability):
+    # fwd + bwd of the denoiser ~ 3x forward FLOPs at the mvp token count.
+    from ..utils.profiling import flops_mmdit_forward, mfu as mfu_util
+
+    try:
+        core = bundle.model.cfg.core
+        tok = cfg["tokenizer"]
+        n_tokens = None  # derived lazily: depends on latent dims
+        zv = bundle.latent_shapes["z_video"]
+        za = bundle.latent_shapes["z_audio"]
+        tube = cfg["tokenizer"]["video"]["tube"]
+        chunk = cfg["tokenizer"]["audio"]["chunk"]
+        nv = (zv[2] // int(tube["t"])) * (zv[3] // int(tube["h"])) * (
+            zv[4] // int(tube["w"]))
+        from ..ops.tokenize import num_chunks
+
+        na = num_chunks(za[2], int(chunk["length"]), int(chunk["stride"]))
+        _denoiser_flops_per_step = 3.0 * bundle.latent_shapes["video"][0] * (
+            flops_mmdit_forward(nv + na, core.d_model, core.n_layers,
+                                core.mlp_ratio))
+    except Exception:
+        _denoiser_flops_per_step = None
     for batch in batches:
         step_i = int(state.step)
         if step_i >= max_steps:
@@ -446,7 +469,11 @@ def run_training(
                 k: float(np.mean([v[k] for v in vals])) for k in vals[0]
             }
             now = time.perf_counter()
-            agg["steps_per_sec"] = len(pending) / (now - t_last)
+            dt = (now - t_last) / max(1, len(pending))
+            agg["steps_per_sec"] = 1.0 / dt
+            agg["clips_per_sec"] = bundle.latent_shapes["video"][0] / dt
+            if _denoiser_flops_per_step is not None:
+                agg["denoiser_mfu"] = mfu_util(_denoiser_flops_per_step / dt)
             t_last = now
             log_fn(new_step, agg)
             pending = []
