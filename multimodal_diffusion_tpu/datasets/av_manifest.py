@@ -35,7 +35,12 @@ class AVManifestDataset:
         size_hw: Tuple[int, int] = (128, 128),
         channels: int = 3,
         use_native: bool = True,
+        device_preprocess: bool = False,
     ):
+        # device_preprocess: ship uint8 [T, H, W, 3] frames (4x fewer
+        # host->device bytes); the jitted train step casts/normalizes/
+        # transposes on TPU (BASELINE north star: on-device preprocessing)
+        self.device_preprocess = bool(device_preprocess)
         self.manifest_path = Path(manifest_path)
         self.clip_seconds = float(clip_seconds)
         self.fps = int(fps)
@@ -76,10 +81,13 @@ class AVManifestDataset:
         pick = frames[: min(len(frames), self.T)]
         if len(pick) < self.T:
             pick = pick + [frames[-1]] * (self.T - len(pick))
-        if self._native is not None and all(
+        native_ok = self._native is not None and all(
             p.suffix.lower() in (".jpg", ".jpeg") for p in pick
-        ):
+        )
+        if native_ok:
             try:
+                if self.device_preprocess:
+                    return self._native.decode_clip_u8(pick, H, W)
                 return self._native.decode_clip(pick, H, W)
             except Exception:
                 pass  # fall through to the PIL path
@@ -89,7 +97,10 @@ class AVManifestDataset:
             if im.size != (W, H):
                 im = im.resize((W, H), Image.BILINEAR)
             imgs.append(np.asarray(im, dtype=np.uint8))
-        arr = np.stack(imgs, axis=0).astype(np.float32) / 255.0  # [T,H,W,3]
+        arr = np.stack(imgs, axis=0)  # [T, H, W, 3] uint8
+        if self.device_preprocess:
+            return arr
+        arr = arr.astype(np.float32) / 255.0
         return np.transpose(arr, (3, 0, 1, 2))  # [3,T,H,W]
 
     def _load_wav(self, wav_path: Path) -> np.ndarray:
@@ -144,10 +155,12 @@ class AVClipsDataset(AVManifestDataset):
         video_root: Optional[str] = None,
         audio_root: Optional[str] = None,
         use_native: bool = True,
+        device_preprocess: bool = False,
         **_ignored,
     ):
         super().__init__(manifest_path, clip_seconds, fps, sr, size_hw,
-                         channels, use_native=use_native)
+                         channels, use_native=use_native,
+                         device_preprocess=device_preprocess)
         video_root = Path(video_root) if video_root else None
         audio_root = Path(audio_root) if audio_root else None
         for it in self.items:

@@ -20,13 +20,19 @@ TargetLike = Optional[Union[str, Set[str], Callable[[], Union[str, Set[str]]]]]
 
 
 def _pad_video(v: np.ndarray, T: int) -> np.ndarray:
-    t0 = v.shape[1]
+    """Pad/crop time axis (axis 1 for [3,T,H,W] f32, axis 0 for the uint8
+    device-preprocess layout [T,H,W,3]) by repeating the last frame."""
+    t_axis = 0 if v.dtype == np.uint8 else 1
+    t0 = v.shape[t_axis]
     if t0 == T:
         return v
+    idx = [slice(None)] * v.ndim
     if t0 > T:
-        return v[:, :T]
-    last = np.repeat(v[:, -1:], T - t0, axis=1)
-    return np.concatenate([v, last], axis=1)
+        idx[t_axis] = slice(0, T)
+        return v[tuple(idx)]
+    idx[t_axis] = slice(-1, None)
+    last = np.repeat(v[tuple(idx)], T - t0, axis=t_axis)
+    return np.concatenate([v, last], axis=t_axis)
 
 
 def _pad_audio(a: np.ndarray, L: int) -> np.ndarray:
@@ -82,14 +88,24 @@ def collate_batch(
     "has_video" [B] bool, "has_audio" [B] bool, "target" set, "meta" list}."""
     vids, auds, metas, has_v, has_a = [], [], [], [], []
     H = W = None
+    u8_mode = False
     for it in items:
         v, a = it.get("video"), it.get("audio")
         if v is not None:
-            v = np.asarray(v, np.float32)
-            if v.ndim != 4 or v.shape[0] != 3:
-                raise ValueError(f"video must be [3,T,H,W]; got {v.shape}")
-            if H is None:
-                H, W = int(v.shape[-2]), int(v.shape[-1])
+            v = np.asarray(v)
+            if v.dtype == np.uint8:
+                # device-preprocess layout [T, H, W, 3]
+                if v.ndim != 4 or v.shape[-1] != 3:
+                    raise ValueError(f"uint8 video must be [T,H,W,3]; got {v.shape}")
+                u8_mode = True
+                if H is None:
+                    H, W = int(v.shape[1]), int(v.shape[2])
+            else:
+                v = v.astype(np.float32)
+                if v.ndim != 4 or v.shape[0] != 3:
+                    raise ValueError(f"video must be [3,T,H,W]; got {v.shape}")
+                if H is None:
+                    H, W = int(v.shape[-2]), int(v.shape[-1])
         if a is not None:
             a = np.asarray(a, np.float32)
             if a.ndim != 2 or a.shape[0] != 1:
@@ -109,7 +125,10 @@ def collate_batch(
         filled = []
         for v in vids:
             if v is None:
-                v = np.zeros((3, T_target, H, W), np.float32)
+                v = (np.zeros((T_target, H, W, 3), np.uint8) if u8_mode
+                     else np.zeros((3, T_target, H, W), np.float32))
+            elif u8_mode:
+                v = _pad_video(v[:, :H, :W, :], T_target)
             else:
                 v = _pad_video(_fit_hw(v, H, W), T_target)
             filled.append(v)

@@ -59,6 +59,12 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_float),
         ]
+        lib.decode_clip_u8.restype = ctypes.c_int
+        lib.decode_clip_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_ubyte),
+        ]
         lib.load_wav_mono.restype = ctypes.c_long
         lib.load_wav_mono.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_long,
@@ -86,6 +92,27 @@ def decode_clip(paths: Sequence, H: int, W: int,
     rc = lib.decode_clip_f32(
         arr, T, H, W, n_threads,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    if rc != 0:
+        raise RuntimeError(f"native decode failed for frame {rc - 1}: "
+                           f"{paths[rc - 1]}")
+    return out
+
+
+def decode_clip_u8(paths: Sequence, H: int, W: int,
+                   n_threads: int = 0) -> np.ndarray:
+    """JPEG frame paths -> [T, H, W, 3] uint8 (device-side normalize path)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native avloader unavailable")
+    T = len(paths)
+    if n_threads <= 0:
+        n_threads = min(T, os.cpu_count() or 1)
+    out = np.empty((T, H, W, 3), dtype=np.uint8)
+    arr = (ctypes.c_char_p * T)(*[str(p).encode() for p in paths])
+    rc = lib.decode_clip_u8(
+        arr, T, H, W, n_threads,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
     )
     if rc != 0:
         raise RuntimeError(f"native decode failed for frame {rc - 1}: "

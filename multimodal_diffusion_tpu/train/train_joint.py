@@ -66,6 +66,7 @@ def main(argv=None):
         size_hw=tuple(cfg["video"]["size"]),
         video_root=cfg.get("paths", {}).get("video_root"),
         audio_root=cfg.get("paths", {}).get("audio_root"),
+        device_preprocess=bool(cfg["data"].get("device_preprocess", False)),
     )
     T_target = dataset.T
     L_target = dataset.L

@@ -189,6 +189,13 @@ def build_train_step(
         rng, k_tv, k_ta, k_nv, k_na, k_drop, k_dropout, k_vae = jax.random.split(
             state.rng, 8
         )
+        video = batch["video"]
+        if video.dtype == jnp.uint8:
+            # on-device preprocessing: the host ships uint8 [B, T, H, W, 3];
+            # cast/normalize/transpose here so XLA fuses it into the VAE's
+            # first conv (4x fewer host->device bytes than float32)
+            video = video.astype(jnp.float32).transpose(0, 4, 1, 2, 3) / 255.0
+        batch = dict(batch, video=video)
         B = batch["video"].shape[0]
         t_v = jax.random.randint(k_tv, (B,), 0, T_v)
         t_a = jax.random.randint(k_ta, (B,), 0, T_a)
@@ -447,11 +454,17 @@ def run_training(
         if target not in ("video", "audio"):
             target = schedule.sample_target()
         tiv = jnp.asarray(1.0 if target == "video" else 0.0, jnp.float32)
+        B_, _, T_, H_, W_ = bundle.latent_shapes["video"]
+        vid_fill = (
+            np.zeros((B_, T_, H_, W_, 3), np.uint8)
+            if bool(cfg.get("data", {}).get("device_preprocess", False))
+            else np.zeros(bundle.latent_shapes["video"], np.float32)
+        )
         host_batch = {
             # zero-fill an entirely-missing modality (static shapes for jit);
             # its has_* mask already excludes it from the loss
             "video": batch["video"] if batch.get("video") is not None
-            else np.zeros(bundle.latent_shapes["video"], np.float32),
+            else vid_fill,
             "audio": batch["audio"] if batch.get("audio") is not None
             else np.zeros(bundle.latent_shapes["audio"], np.float32),
             "has_video": batch["has_video"],

@@ -171,6 +171,45 @@ int decode_clip_f32(const char** paths, int T, int H, int W, int n_threads,
     return fail.load();
 }
 
+// Decode `T` JPEG frames into a uint8 [T, H, W, 3] clip (no normalization) —
+// the device-side pipeline casts/normalizes/transposes on TPU, so the host
+// ships 4x fewer bytes than float32.  Returns 0 or 1-based failing index.
+int decode_clip_u8(const char** paths, int T, int H, int W, int n_threads,
+                   unsigned char* out /* T*H*W*3 */) {
+    std::atomic<int> fail{0};
+    auto work = [&](int t) {
+        unsigned char* rgb = nullptr;
+        int w = 0, h = 0;
+        if (!decode_jpeg_rgb(paths[t], &rgb, &w, &h)) {
+            int expected = 0;
+            fail.compare_exchange_strong(expected, t + 1);
+            return;
+        }
+        unsigned char* dst = out + size_t(t) * H * W * 3;
+        if (w != W || h != H) {
+            resize_bilinear(rgb, w, h, dst, W, H);
+        } else {
+            memcpy(dst, rgb, size_t(W) * H * 3);
+        }
+        free(rgb);
+    };
+    if (n_threads <= 1 || T <= 1) {
+        for (int t = 0; t < T; ++t) work(t);
+    } else {
+        std::vector<std::thread> pool;
+        std::atomic<int> next{0};
+        int nt = n_threads < T ? n_threads : T;
+        for (int i = 0; i < nt; ++i) {
+            pool.emplace_back([&]() {
+                for (int t = next.fetch_add(1); t < T; t = next.fetch_add(1))
+                    work(t);
+            });
+        }
+        for (auto& th : pool) th.join();
+    }
+    return fail.load();
+}
+
 // Minimal RIFF/WAVE reader: PCM16 / PCM32 / IEEE-float32, any channel count
 // (averaged to mono).  Writes up to max_len float32 samples; returns the
 // number written (or the full length if out == nullptr), -1 on error.
