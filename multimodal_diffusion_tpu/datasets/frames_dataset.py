@@ -45,6 +45,16 @@ class FramesDataset(AVManifestDataset):
             self.manifest_path = src
             self.T = int(round(self.fps * self.clip_seconds))
             self.L = 0
+            self.device_preprocess = bool(_ignored.get("device_preprocess",
+                                                       False))
+            self._native = None
+            try:
+                from . import native_loader
+
+                if native_loader.available():
+                    self._native = native_loader
+            except Exception:
+                self._native = None
         else:
             super().__init__(src, clip_seconds, fps, 16000, size_hw, channels)
         if not self.items:

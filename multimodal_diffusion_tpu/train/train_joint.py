@@ -115,10 +115,40 @@ def main(argv=None):
             ckpt.save(step, state_to_tree(state),
                       meta={"experiment": cfg.get("experiment", "")})
 
+    # validation (the reference parsed val_every but wired no val loop)
+    val_fn = None
+    val_manifest = cfg["data"].get("val_split_glob")
+    if val_manifest and int(cfg["training"].get("val_every", 0) or 0) > 0:
+        from .trainer import run_validation
+
+        val_ds = AVClipsDataset(
+            manifest_path=val_manifest,
+            clip_seconds=float(cfg["data"]["clip_seconds"]),
+            fps=int(cfg["video"]["fps"]),
+            sr=int(cfg["audio"]["sr"]),
+            size_hw=tuple(cfg["video"]["size"]),
+            video_root=cfg.get("paths", {}).get("video_root"),
+            audio_root=cfg.get("paths", {}).get("audio_root"),
+            device_preprocess=bool(cfg["data"].get("device_preprocess", False)),
+        )
+        val_loader = DataLoader(
+            val_ds, batch_size=global_batch,
+            collate_fn=lambda items: collate_batch(items, T_target, L_target),
+            shuffle=False, drop_last=True,
+            num_workers=int(cfg["data"].get("num_workers", 2)) or 2,
+        )
+
+        def val_fn(step):
+            metrics = run_validation(bundle, val_loader.epoch(0), n_batches=8)
+            if writer is not None:
+                writer.write(step, metrics)
+            print(f"step {step}: " + " ".join(
+                f"{k}={v:.4f}" for k, v in metrics.items()))
+
     state = run_training(
         cfg, bundle, iter(loader),
         max_steps=args.max_steps,
-        log_fn=log_fn, checkpoint_fn=ckpt_fn,
+        log_fn=log_fn, checkpoint_fn=ckpt_fn, val_fn=val_fn,
     )
 
     if ckpt is not None:

@@ -66,6 +66,7 @@ class TrainerBundle:
     latent_shapes: Dict[str, Tuple[int, ...]]
     abar_v: jnp.ndarray
     abar_a: jnp.ndarray
+    eval_step: Any = None
 
 
 # ---------------------------------------------------------------------------
@@ -268,6 +269,76 @@ def build_train_step(
     return train_step
 
 
+def build_eval_step(
+    model: AVDiffusionModel,
+    abar_v: jnp.ndarray,
+    abar_a: jnp.ndarray,
+    z_video_shape: Tuple[int, ...],
+    z_audio_shape: Tuple[int, ...],
+    T_v: int,
+    T_a: int,
+):
+    """Deterministic validation step: per-modality eps-MSE, no CFG drop, no
+    dropout, fixed per-call RNG.  (The reference parsed `val_every` but left
+    validation unwired — trainer.py:139 `loader_val = None`.)"""
+
+    def eval_step(params, batch: Dict[str, jnp.ndarray], rng: jax.Array):
+        video = batch["video"]
+        if video.dtype == jnp.uint8:
+            video = video.astype(jnp.float32).transpose(0, 4, 1, 2, 3) / 255.0
+        k_tv, k_ta, k_nv, k_na = jax.random.split(rng, 4)
+        B = video.shape[0]
+        t_v = jax.random.randint(k_tv, (B,), 0, T_v)
+        t_a = jax.random.randint(k_ta, (B,), 0, T_a)
+        out = model.apply(
+            {"params": params},
+            video,
+            batch["audio"],
+            t_v,
+            t_a,
+            jax.random.normal(k_nv, z_video_shape, jnp.float32),
+            jax.random.normal(k_na, z_audio_shape, jnp.float32),
+            abar_v,
+            abar_a,
+            deterministic=True,
+        )
+        loss_v = mse_targets_only(
+            out["eps_v"], out["eps_a"], out["eps_true_v"], out["eps_true_a"],
+            jnp.asarray(1.0), batch.get("has_video"), batch.get("has_audio"))
+        loss_a = mse_targets_only(
+            out["eps_v"], out["eps_a"], out["eps_true_v"], out["eps_true_a"],
+            jnp.asarray(0.0), batch.get("has_video"), batch.get("has_audio"))
+        return {"val_loss_video": loss_v, "val_loss_audio": loss_a,
+                "val_loss": 0.5 * (loss_v + loss_a)}
+
+    return eval_step
+
+
+def run_validation(bundle: "TrainerBundle", batches, n_batches: int = 8,
+                   seed: int = 0) -> Dict[str, float]:
+    """Average the eval step over up to n_batches; returns host floats."""
+    if bundle.eval_step is None:
+        raise RuntimeError("bundle has no eval_step")
+    key = jax.random.PRNGKey(seed)
+    acc: Dict[str, list] = {}
+    for i, batch in enumerate(batches):
+        if i >= n_batches:
+            break
+        key, sub = jax.random.split(key)
+        B_, _, T_, H_, W_ = bundle.latent_shapes["video"]
+        host_batch = {
+            "video": batch["video"],
+            "audio": batch["audio"],
+            "has_video": batch["has_video"],
+            "has_audio": batch["has_audio"],
+        }
+        dev_batch = shard_batch(bundle.mesh, host_batch)
+        m = bundle.eval_step(bundle.state.params, dev_batch, sub)
+        for k, v in jax.device_get(m).items():
+            acc.setdefault(k, []).append(float(v))
+    return {k: float(np.mean(v)) for k, v in acc.items()}
+
+
 # ---------------------------------------------------------------------------
 # top-level builder
 # ---------------------------------------------------------------------------
@@ -375,6 +446,11 @@ def create_trainer(
     )
     train_step = jax.jit(step_fn, donate_argnums=(0,))
 
+    eval_step = jax.jit(
+        build_eval_step(model, abar_v, abar_a, shapes["z_video"],
+                        shapes["z_audio"], T_v, T_a)
+    )
+
     return TrainerBundle(
         model=model,
         mesh=mesh,
@@ -384,6 +460,7 @@ def create_trainer(
         latent_shapes=shapes,
         abar_v=abar_v,
         abar_a=abar_a,
+        eval_step=eval_step,
     )
 
 
@@ -400,6 +477,7 @@ def run_training(
     max_steps: Optional[int] = None,
     log_fn=None,
     checkpoint_fn=None,
+    val_fn=None,
 ) -> TrainState:
     """Drive the jitted step over a host batch iterator.
 
@@ -410,6 +488,7 @@ def run_training(
     max_steps = max_steps if max_steps is not None else int(t_cfg["max_steps"])
     log_every = int(t_cfg.get("log_every", 50))
     ckpt_every = int(t_cfg.get("ckpt_every", 5000))
+    val_every = int(t_cfg.get("val_every", 0) or 0)
     schedule = Any2AnySchedule(
         t_cfg.get("any2any_targets", {"video": 0.5, "audio": 0.5}),
         seed=int(cfg.get("seed", 0)),
@@ -492,5 +571,8 @@ def run_training(
             pending = []
         if checkpoint_fn is not None and new_step % ckpt_every == 0:
             checkpoint_fn(new_step, state)
+        if val_fn is not None and val_every and new_step % val_every == 0:
+            bundle.state = state  # expose current params to run_validation
+            val_fn(new_step)
     bundle.state = state
     return state
