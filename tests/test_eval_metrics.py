@@ -1,0 +1,113 @@
+"""Unit tests for the eval metric implementations (the reference ships no
+eval-metric tests — SURVEY §4 item 5)."""
+
+import numpy as np
+import pytest
+
+from multimodal_diffusion_tpu.eval.audio_quality import (
+    logmel_l1, mcd, snr_like, spectral_convergence,
+)
+from multimodal_diffusion_tpu.eval.av_sync import (
+    audio_rms_envelope, best_lag_and_corr, estimate_av_sync,
+    video_motion_envelope,
+)
+from multimodal_diffusion_tpu.eval.video_metrics import (
+    psnr, ssim, temporal_flicker,
+)
+
+
+# ---------------------------- audio metrics ----------------------------
+
+
+def test_snr_identity_and_noise():
+    rng = np.random.default_rng(0)
+    y = rng.standard_normal(8000).astype(np.float32)
+    assert snr_like(y, y) > 90  # identical -> huge SNR
+    noisy = y + 0.1 * rng.standard_normal(8000).astype(np.float32)
+    snr = snr_like(y, noisy)
+    assert 15 < snr < 25  # ~20 dB by construction
+
+
+def test_spectral_convergence_identity():
+    rng = np.random.default_rng(1)
+    y = rng.standard_normal(8000).astype(np.float32)
+    assert spectral_convergence(y, y, sr=8000) < 1e-6
+    assert spectral_convergence(y, np.zeros_like(y), sr=8000) == pytest.approx(
+        1.0, abs=1e-5)
+
+
+def test_logmel_l1_orders_degradation():
+    rng = np.random.default_rng(2)
+    y = np.sin(np.linspace(0, 400, 8000)).astype(np.float32)
+    small = logmel_l1(y, y + 0.01 * rng.standard_normal(8000).astype(np.float32), 8000)
+    large = logmel_l1(y, rng.standard_normal(8000).astype(np.float32), 8000)
+    assert 0 <= small < large
+
+
+def test_mcd_identity_zero():
+    y = np.sin(np.linspace(0, 200, 8000)).astype(np.float32)
+    assert mcd(y, y, sr=8000, use_dtw=False) < 1e-2
+    assert mcd(y, y, sr=8000, use_dtw=True) < 1e-2
+
+
+# ---------------------------- video metrics ----------------------------
+
+
+def test_psnr_known_value():
+    a = np.zeros((8, 8, 3), np.float64)
+    b = np.full((8, 8, 3), 0.1, np.float64)
+    # MSE = 0.01 -> PSNR = 10*log10(1/0.01) = 20 dB
+    assert psnr(a, b) == pytest.approx(20.0, abs=1e-6)
+    assert psnr(a, a) == float("inf")
+
+
+def test_ssim_bounds():
+    rng = np.random.default_rng(3)
+    a = rng.random((32, 32, 3))
+    assert ssim(a, a) == pytest.approx(1.0, abs=1e-9)
+    b = rng.random((32, 32, 3))
+    s = ssim(a, b)
+    assert -1.0 <= s < 0.5  # unrelated noise images have low SSIM
+
+
+def test_temporal_flicker():
+    stable = np.zeros((5, 8, 8, 3), np.uint8)
+    assert temporal_flicker(stable) == 0.0
+    flicker = np.zeros((4, 8, 8, 3), np.uint8)
+    flicker[1::2] = 255
+    assert temporal_flicker(flicker) == pytest.approx(1.0, abs=1e-6)
+
+
+# ---------------------------- AV sync ----------------------------
+
+
+def test_best_lag_recovers_shift():
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal(200).astype(np.float32)
+    shift = 5
+    y = np.roll(x, shift)  # y delayed by `shift`
+    lag, corr = best_lag_and_corr(x, y, max_lag=10)
+    assert lag == shift and corr > 0.8
+
+
+def test_av_sync_on_correlated_envelopes():
+    """Video brightness pulses synchronized with audio bursts -> near-zero
+    lag and positive correlation."""
+    fps, sr, secs = 8, 800, 4
+    T = fps * secs
+    rng = np.random.default_rng(5)
+    frames = np.zeros((T, 16, 16, 3), np.uint8)
+    wav = np.zeros(sr * secs, np.float32)
+    for t in range(0, T, 8):  # a pulse every second
+        frames[t] = 255
+        a = t * sr // fps
+        wav[a : a + sr // fps] = rng.standard_normal(sr // fps) * 0.8
+    lag_s, corr = estimate_av_sync(frames, wav, sr=sr, fps=fps,
+                                   max_lag_seconds=1.0)
+    assert abs(lag_s) <= 2.0 / fps  # within two frames
+    assert corr > 0.3
+
+    v_env = video_motion_envelope(frames)
+    a_env = audio_rms_envelope(wav, sr, fps)
+    assert v_env.shape[0] == T and a_env.shape[0] == T
+    assert abs(float(v_env.mean())) < 1e-5  # z-scored
