@@ -39,6 +39,9 @@ def main(argv=None):
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--direction", choices=["v2a", "a2v"], default="v2a")
     ap.add_argument("--image-size", type=int, default=512)
+    ap.add_argument("--config", type=str, nargs="+", default=None,
+                    help="config override for the av/train tasks "
+                         "(default: configs/mvp.yaml)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (debug)")
     args = ap.parse_args(argv)
@@ -60,7 +63,7 @@ def main(argv=None):
     )
     from multimodal_diffusion_tpu.utils.io import load_config
 
-    cfg = load_config(REPO / "configs" / "mvp.yaml")
+    cfg = load_config(*(args.config or [REPO / "configs" / "mvp.yaml"]))
     cfg["diffusion"]["video"]["sampler_steps"] = args.steps
     cfg["diffusion"]["audio"]["sampler_steps"] = args.steps
 
@@ -145,6 +148,8 @@ def main(argv=None):
         "value": round(clips_per_sec, 4),
         "unit": "clips/sec/chip",
         "vs_baseline": round(vs_baseline, 2),
+        # secondary headline (BASELINE.md): end-to-end latency of one batch
+        "p50_batch_latency_s": round(t_med, 4),
     }))
 
 
@@ -160,7 +165,7 @@ def bench_train(args):
     from multimodal_diffusion_tpu.train.trainer import create_trainer
     from multimodal_diffusion_tpu.utils.io import load_config
 
-    cfg = load_config(REPO / "configs" / "mvp.yaml")
+    cfg = load_config(*(args.config or [REPO / "configs" / "mvp.yaml"]))
     cfg["data"]["batch_size"] = args.batch
     cfg["parallel"] = {"data": len(jax.devices()), "model": 1}
 

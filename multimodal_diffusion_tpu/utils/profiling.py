@@ -30,7 +30,11 @@ PEAK_FLOPS = {
 
 @contextlib.contextmanager
 def trace(logdir: str):
-    """Capture a device trace: `with trace('runs/prof'): step(...)`."""
+    """Capture a device trace: `with trace('runs/prof'): step(...)`.
+
+    NOTE: on this dev environment's tunneled TPU, start_trace can hang (the
+    profiler service isn't reachable through the relay); traces work on CPU
+    and on directly-attached TPUs."""
     jax.profiler.start_trace(str(logdir))
     try:
         yield
