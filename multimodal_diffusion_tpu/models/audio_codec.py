@@ -126,8 +126,8 @@ class AudioCodec(nn.Module):
         if wav.ndim != 3 or wav.shape[1] != self.cfg.in_ch:
             raise ValueError(f"AudioCodec.encode expects [B,{self.cfg.in_ch},L], got {wav.shape}")
         h = wav.transpose(0, 2, 1).astype(self.cfg.dtype)  # [B, L, C]
-        h = nn.gelu(self.pre0(h))
-        h = nn.gelu(self.pre1(h))
+        h = nn.gelu(self.pre0(h), approximate=False)
+        h = nn.gelu(self.pre1(h), approximate=False)
         h = self._avgpool_frames(h, self.cfg.frames_per_clip)
         z = self.to_lat(h)  # [B, Fa, Ca]
         return z.transpose(0, 2, 1)
@@ -139,8 +139,8 @@ class AudioCodec(nn.Module):
         h = z.transpose(0, 2, 1).astype(self.cfg.dtype)  # [B, Fa, Ca]
         h = self.from_lat(h)
         h = jnp.repeat(h, self.hop, axis=1)  # nearest upsample by hop
-        h = nn.gelu(self.smooth0(h))
-        h = nn.gelu(self.smooth1(h))
+        h = nn.gelu(self.smooth0(h), approximate=False)
+        h = nn.gelu(self.smooth1(h), approximate=False)
         y = nn.tanh(self.smooth2(h))
         return y.transpose(0, 2, 1)
 

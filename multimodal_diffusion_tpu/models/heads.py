@@ -23,7 +23,8 @@ import jax.numpy as jnp
 Dtype = Any
 
 _ACTS = {
-    "gelu": nn.gelu,
+    # exact (erf) GELU == torch nn.GELU default (checkpoint portability)
+    "gelu": lambda x: nn.gelu(x, approximate=False),
     "relu": nn.relu,
     "leaky_relu": lambda x: nn.leaky_relu(x, negative_slope=0.1),
 }
@@ -57,7 +58,8 @@ class _TrunkBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         x = _dense(self.width, "dense", self.dtype)(x)
-        x = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32)(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                         param_dtype=jnp.float32)(x)
         x = _act(self.activation)(x)
         return nn.Dropout(self.dropout)(x, deterministic=deterministic)
 

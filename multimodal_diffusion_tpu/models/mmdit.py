@@ -76,7 +76,8 @@ class RMSNorm(nn.Module):
 def make_norm(kind: str, dtype: Dtype) -> nn.Module:
     if kind.lower() == "rmsnorm":
         return RMSNorm(dtype=dtype)
-    return nn.LayerNorm(dtype=dtype, param_dtype=jnp.float32)
+    # epsilon 1e-5 == torch nn.LayerNorm default (checkpoint portability)
+    return nn.LayerNorm(epsilon=1e-5, dtype=dtype, param_dtype=jnp.float32)
 
 
 def rotary_embed(q: jnp.ndarray, k: jnp.ndarray, max_period: float = 10_000.0):
@@ -168,7 +169,8 @@ class MLP(nn.Module):
             bias_init=_zeros_init("mlp"),
             name="fc1",
         )(x)
-        h = nn.gelu(h)
+        # exact (erf) GELU == torch F.gelu default (checkpoint portability)
+        h = nn.gelu(h, approximate=False)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = nn.Dense(
             d,

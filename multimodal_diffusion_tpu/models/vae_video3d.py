@@ -78,10 +78,10 @@ class ConvBlock3D(nn.Module):
             self.features, (3, 3, 3), padding="SAME",
             dtype=self.dtype, param_dtype=jnp.float32,
         )(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)  # exact GELU (torch parity)
         return nn.GroupNorm(
-            num_groups=min(8, self.features), dtype=self.dtype,
-            param_dtype=jnp.float32,
+            num_groups=min(8, self.features), epsilon=1e-5,  # torch GN eps
+            dtype=self.dtype, param_dtype=jnp.float32,
         )(x)
 
 
