@@ -1,0 +1,95 @@
+"""Ring attention — context/sequence-parallel attention over a mesh axis.
+
+The reference handles long time horizons purely algorithmically (sliding
+windows + crossfade, SURVEY §2.B); this op adds true sequence scaling: the
+sequence is SHARDED across devices and never materialized whole.  Each device
+keeps its local Q shard and passes its K/V shard around the ring with
+`lax.ppermute` (XLA lowers this to ICI neighbor exchanges), folding each
+incoming block into flash-style online-softmax statistics — memory per device
+is O(N / n_devices * Dh) and the K/V transfer overlaps compute in XLA's
+pipeline.
+
+Usage (N must divide by the axis size):
+
+    out = ring_attention_sharded(q, k, v, mesh, axis="model")
+
+which shard_maps `_ring_attention_local` with qkv partitioned
+P(None, None, axis, None).  Verified against single-device attention in
+tests/test_ring_attention.py on the 8-device CPU mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+
+def _ring_attention_local(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                          *, axis: str) -> jnp.ndarray:
+    """Per-device body (inside shard_map): q, k, v are LOCAL sequence shards
+    [B, H, Nl, Dh]; returns the local output shard."""
+    n_dev = jax.lax.psum(1, axis)
+    scale = 1.0 / jnp.sqrt(jnp.asarray(q.shape[-1], jnp.float32))
+    qf = q.astype(jnp.float32) * scale
+
+    # derive carries from qf so they inherit the 'varying over axis' type
+    # shard_map tracks (a fresh jnp.zeros would be unvarying -> scan carry
+    # type mismatch)
+    zero_col = qf[..., :1] * 0.0
+    m0 = zero_col - jnp.inf
+    l0 = zero_col
+    acc0 = qf * 0.0
+
+    # ring: each step folds the current K/V block, then passes it to the
+    # next device (ppermute source i -> dest (i+1) % n)
+    perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+
+    def body(carry, _):
+        k_cur, v_cur, m, l, acc = carry
+        s = jnp.einsum("bhnd,bhmd->bhnm", qf, k_cur.astype(jnp.float32),
+                       preferred_element_type=jnp.float32)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jnp.einsum(
+            "bhnm,bhmd->bhnd", p, v_cur.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        k_nxt = jax.lax.ppermute(k_cur, axis, perm)
+        v_nxt = jax.lax.ppermute(v_cur, axis, perm)
+        return (k_nxt, v_nxt, m_new, l, acc), None
+
+    (k_f, v_f, m, l, acc), _ = jax.lax.scan(
+        body, (k, v, m0, l0, acc0), None, length=n_dev
+    )
+    return (acc / jnp.maximum(l, 1e-30)).astype(q.dtype)
+
+
+def ring_attention_sharded(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mesh: Mesh,
+    axis: str = "model",
+) -> jnp.ndarray:
+    """Sequence-parallel attention: [B, H, N, Dh] with N sharded over `axis`.
+
+    The caller may pass fully-replicated arrays; shard_map's in_specs split
+    them.  N must be divisible by the axis size."""
+    n_dev = mesh.shape[axis]
+    if q.shape[2] % n_dev:
+        raise ValueError(f"sequence {q.shape[2]} not divisible by {axis}={n_dev}")
+    spec = P(None, None, axis, None)
+    fn = shard_map(
+        functools.partial(_ring_attention_local, axis=axis),
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
+    )
+    return fn(q, k, v)
