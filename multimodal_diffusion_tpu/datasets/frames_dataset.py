@@ -10,9 +10,8 @@ the same collate (missing-modality masks) as AV items.
 
 from __future__ import annotations
 
-import json
 from pathlib import Path
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Tuple
 
 from .av_manifest import AVManifestDataset
 

@@ -12,7 +12,6 @@ from pathlib import Path
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..models.latent_text2image import (
     Text2ImageConfig, Text2ImageModel, sample_images,

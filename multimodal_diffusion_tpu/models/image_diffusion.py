@@ -12,7 +12,7 @@ conditioning-free pixel diffusion, latent AV diffusion, and future families
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict
 
 import flax.linen as nn
 import jax

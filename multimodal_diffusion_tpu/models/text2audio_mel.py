@@ -13,7 +13,7 @@ Griffin-Lim vocoder (media/audio_io.griffin_lim) at the end.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
@@ -26,7 +26,7 @@ from .adapters import LinearAdapter, PositionalEmbedding1D
 from .heads import NoisePredictionHead
 from .image_diffusion import patch_image, unpatch_image
 from .mmdit import MMDiT, MMDiTConfig
-from .text_encoder import PAD_ID, TextEncoder, TextEncoderConfig, tokenize_text
+from .text_encoder import PAD_ID, TextEncoder, TextEncoderConfig
 
 
 @dataclasses.dataclass(frozen=True)

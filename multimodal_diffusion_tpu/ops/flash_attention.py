@@ -24,8 +24,6 @@ The public wrapper pads N to the tile size and handles [B, H, N, Dh] I/O.
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

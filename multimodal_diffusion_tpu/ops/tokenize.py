@@ -20,7 +20,6 @@ Token layout conventions (identical to the reference):
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Tuple
 
 import jax.numpy as jnp

@@ -18,7 +18,6 @@ keeps step-numbered directories; `latest_step()` provides the
 
 from __future__ import annotations
 
-from pathlib import Path
 from typing import Any, Dict, Optional
 
 import jax

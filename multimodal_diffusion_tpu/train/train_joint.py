@@ -15,8 +15,6 @@ from __future__ import annotations
 
 import argparse
 import os
-from pathlib import Path
-
 import jax
 
 from ..datasets.av_manifest import AVClipsDataset

@@ -21,7 +21,6 @@ import numpy as np
 from ..models.image_diffusion import (
     PixelDiT, PixelDiTConfig, make_pixel_train_step,
 )
-from ..models.mmdit import MMDiTConfig
 from ..train.checkpoint import CheckpointManager
 from ..train.metrics import MetricWriter
 from ..train.trainer import compute_dtype_from_config, make_optimizer
@@ -40,13 +39,30 @@ def iter_image_batches(root, size: int, batch: int, seed: int = 0
     )
     if not paths:
         raise FileNotFoundError(f"no images under {root}")
+    # native fast path: one threaded C++ call decodes the whole batch when
+    # every file is a JPEG (square images; plain resize == the PIL path)
+    native = None
+    if all(p.suffix.lower() in (".jpg", ".jpeg") for p in paths):
+        try:
+            from ..datasets import native_loader
+
+            if native_loader.available():
+                native = native_loader
+        except Exception:
+            native = None
+
     rng = np.random.default_rng(seed)
     while True:
         idx = rng.permutation(len(paths))
         for i in range(0, len(idx) - batch + 1, batch):
+            sel = [paths[j] for j in idx[i : i + batch]]
+            if native is not None:
+                u8 = native.decode_clip_u8(sel, size, size)  # [B, H, W, 3]
+                yield (u8.astype(np.float32) / 127.5 - 1.0).transpose(0, 3, 1, 2)
+                continue
             imgs = []
-            for j in idx[i : i + batch]:
-                im = Image.open(paths[j]).convert("RGB")
+            for p in sel:
+                im = Image.open(p).convert("RGB")
                 w, h = im.size
                 s = min(w, h)
                 im = im.crop(((w - s) // 2, (h - s) // 2,
