@@ -164,7 +164,8 @@ def make_ancestral_sampler(model: PixelDiT):
             tb = jnp.full((batch_size,), t, jnp.int32)
             eps_hat = model.apply({"params": params}, x, tb, True)
             z = jax.random.normal(kz, shape, jnp.float32)
-            x = S.ddpm_step(x, tb, eps_hat, betas, abar, z)
+            x = S.ddpm_step(x, tb, eps_hat, betas, abar, z,
+                            clip_x0=(-1.0, 1.0))
             return (x, key), None
 
         (x0, _), _ = jax.lax.scan(body, (x_T, rng), ts)

@@ -149,6 +149,7 @@ def ddim_step(
     noise: Optional[jnp.ndarray] = None,
     *,
     key: Optional[jax.Array] = None,
+    clip_x0: Optional[Tuple[float, float]] = None,
 ) -> jnp.ndarray:
     """One DDIM update x_{t_prev} <- x_t (x0-prediction form).
 
@@ -174,6 +175,12 @@ def ddim_step(
     sqrt_a_prev = jnp.sqrt(a_prev)
 
     x0_pred = (x_t - sqrt_omb_t * eps_hat) / jnp.clip(sqrt_a_t, 1e-8, None)
+    if clip_x0 is not None:
+        # clip the denoised estimate to the data range (standard for
+        # pixel-space sampling: at large t, 1/sqrt(a_bar) amplifies epsilon
+        # errors by >1e4 and unclipped trajectories diverge; the reference
+        # never clips, so the AV latent path leaves this off by default)
+        x0_pred = jnp.clip(x0_pred, clip_x0[0], clip_x0[1])
 
     if eta > 0.0:
         frac = jnp.clip((1.0 - a_prev) / jnp.clip(1.0 - a_t, 1e-8, None), 0.0, None)
@@ -202,6 +209,7 @@ def ddpm_step(
     noise: jnp.ndarray,
     *,
     posterior_variance: bool = True,
+    clip_x0: Optional[Tuple[float, float]] = None,
 ) -> jnp.ndarray:
     """One ancestral DDPM step x_{t-1} <- x_t (Ho et al. 2020, eq. 11):
 
@@ -225,8 +233,18 @@ def ddpm_step(
     is_t0 = (t == 0).reshape((-1,) + (1,) * (nd - 1))
     ab_prev = jnp.where(is_t0, jnp.ones_like(ab_prev_raw), ab_prev_raw)
 
-    mean = (x_t - beta_t / jnp.sqrt(jnp.clip(1.0 - ab_t, 1e-20, None)) * eps_hat)
-    mean = mean / jnp.sqrt(a_t)
+    if clip_x0 is not None:
+        # posterior mean through the clipped x0 estimate (Ho et al. eq. 7)
+        x0 = (x_t - jnp.sqrt(jnp.clip(1.0 - ab_t, 0.0, None)) * eps_hat)
+        x0 = x0 / jnp.sqrt(jnp.clip(ab_t, 1e-20, None))
+        x0 = jnp.clip(x0, clip_x0[0], clip_x0[1])
+        denom = jnp.clip(1.0 - ab_t, 1e-20, None)
+        coef_x0 = jnp.sqrt(ab_prev) * beta_t / denom
+        coef_xt = jnp.sqrt(a_t) * (1.0 - ab_prev) / denom
+        mean = coef_x0 * x0 + coef_xt * x_t
+    else:
+        mean = (x_t - beta_t / jnp.sqrt(jnp.clip(1.0 - ab_t, 1e-20, None)) * eps_hat)
+        mean = mean / jnp.sqrt(a_t)
     if posterior_variance:
         var = (1.0 - ab_prev) / jnp.clip(1.0 - ab_t, 1e-20, None) * beta_t
     else:

@@ -79,3 +79,26 @@ def test_pixel_train_learns_and_sampler_runs():
     assert imgs.shape == (2, 1, 8, 8)
     arr = np.asarray(imgs)
     assert np.isfinite(arr).all() and arr.min() >= -1.0 and arr.max() <= 1.0
+
+
+def test_clip_x0_bounds_trajectory():
+    """With clip_x0, a single DDIM step from near-pure noise stays bounded
+    even when eps_hat is wrong (the failure mode that made unclipped
+    pixel sampling diverge: 1/sqrt(a_bar) > 1e4 at t ~ T)."""
+    betas = S.make_beta_schedule(1000, "cosine")
+    _, abar = S.alphas_cumprod_from_betas(betas)
+    abar = jnp.asarray(abar)
+    x_t = jax.random.normal(jax.random.PRNGKey(0), (1, 3, 8, 8))
+    bad_eps = jnp.zeros_like(x_t)  # maximally wrong at t=999
+    t = jnp.array([999])
+    tp = jnp.array([979])
+    unclipped = S.ddim_step(x_t, t, tp, bad_eps, abar)
+    clipped = S.ddim_step(x_t, t, tp, bad_eps, abar, clip_x0=(-1.0, 1.0))
+    assert float(jnp.abs(unclipped).max()) > 100.0  # diverges
+    assert float(jnp.abs(clipped).max()) < 5.0  # bounded
+    # ddpm_step likewise
+    z = jnp.zeros_like(x_t)
+    d_unc = S.ddpm_step(x_t, t, bad_eps, jnp.asarray(betas), abar, z)
+    d_clip = S.ddpm_step(x_t, t, bad_eps, jnp.asarray(betas), abar, z,
+                         clip_x0=(-1.0, 1.0))
+    assert float(jnp.abs(d_clip).max()) <= float(jnp.abs(d_unc).max())
