@@ -50,14 +50,31 @@ def sample_indices(n_src: int, src_fps: float, tgt_fps: float) -> np.ndarray:
     return np.clip(idx, 0, n_src - 1)
 
 
-def chunk_ranges(n: int, clip_len: int, drop_last: bool = True) -> List[Tuple[int, int]]:
+def chunk_ranges(n: int, clip_len: int, drop_last: bool = True,
+                 hop: int = 0) -> List[Tuple[int, int]]:
+    """Fixed-length clip windows; hop < clip_len gives overlapping clips
+    (reference --hop-seconds semantics), hop == 0 means non-overlapping."""
+    step = hop if hop > 0 else clip_len
     ranges = []
-    for a in range(0, n, clip_len):
+    a = 0
+    while a < n:
         b = min(n, a + clip_len)
-        if b - a < clip_len and drop_last:
+        if b - a < clip_len:
+            if not drop_last:
+                ranges.append((a, b))  # keep the short tail once
             break
         ranges.append((a, b))
+        a += step
     return ranges
+
+
+def parse_hw(size: str) -> Tuple[int, int]:
+    """'128' -> (128, 128); '128x96' / '128X96' -> (128, 96)."""
+    s = str(size).lower().replace("x", " ").split()
+    if len(s) == 1:
+        v = int(s[0])
+        return v, v
+    return int(s[0]), int(s[1])
 
 
 def extract_for_video(
@@ -67,6 +84,8 @@ def extract_for_video(
     size_hw: Tuple[int, int],
     clip_seconds: float,
     ext: str = "jpg",
+    hop_seconds: float = 0.0,
+    quality: int = 95,
 ) -> dict:
     import cv2
 
@@ -91,13 +110,17 @@ def extract_for_video(
     clips_dir.mkdir(parents=True, exist_ok=True)
 
     clip_len = int(round(fps * clip_seconds))
+    hop = int(round(fps * hop_seconds)) if hop_seconds > 0 else 0
     entries = []
-    for ci, (a, b) in enumerate(chunk_ranges(len(idx), clip_len, drop_last=False)):
+    write_args = ([int(cv2.IMWRITE_JPEG_QUALITY), int(quality)]
+                  if ext in ("jpg", "webp") else [])
+    for ci, (a, b) in enumerate(chunk_ranges(len(idx), clip_len,
+                                             drop_last=False, hop=hop)):
         cdir = clips_dir / f"clip_{ci:04d}"
         cdir.mkdir(parents=True, exist_ok=True)
         for fi, src_i in enumerate(idx[a:b]):
             img = center_resize_crop(frames[int(src_i)], H, W)
-            cv2.imwrite(str(cdir / f"frame_{fi:06d}.{ext}"), img)
+            cv2.imwrite(str(cdir / f"frame_{fi:06d}.{ext}"), img, write_args)
         entries.append(
             {
                 "video_frames_dir": str(cdir),
@@ -114,18 +137,32 @@ def extract_for_video(
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description="Extract fps-resampled frame clips from videos.")
-    ap.add_argument("--input", type=Path, required=True,
+    ap.add_argument("--input", type=Path, default=None,
                     help="Video file or directory tree of videos")
-    ap.add_argument("--output", type=Path, required=True)
+    ap.add_argument("--output", type=Path, default=None)
+    # reference-compatible aliases (extract_frames.py:306-307)
+    ap.add_argument("--input_path", dest="input_alias", type=Path, default=None)
+    ap.add_argument("--output_dir", dest="output_alias", type=Path, default=None)
     ap.add_argument("--fps", type=float, default=16.0)
-    ap.add_argument("--size", type=int, nargs=2, default=[128, 128],
-                    metavar=("H", "W"))
+    ap.add_argument("--size", type=str, nargs="+", default=["128", "128"],
+                    help="'128', 'HxW', or two ints")
     ap.add_argument("--clip-seconds", type=float, default=3.0)
-    ap.add_argument("--ext", type=str, default="jpg",
+    ap.add_argument("--hop-seconds", type=float, default=0.0,
+                    help="hop between clips (0 = non-overlapping)")
+    ap.add_argument("--ext", "--format", dest="ext", type=str, default="jpg",
                     choices=["jpg", "png", "webp"])
+    ap.add_argument("--quality", type=int, default=95)
     ap.add_argument("--limit", type=int, default=0,
                     help="Process at most N videos (0 = all)")
     args = ap.parse_args(argv)
+    args.input = args.input or args.input_alias
+    args.output = args.output or args.output_alias
+    if args.input is None or args.output is None:
+        ap.error("supply --input/--output (or --input_path/--output_dir)")
+    if len(args.size) == 1:
+        args.size = list(parse_hw(args.size[0]))
+    else:
+        args.size = [int(x) for x in args.size]
 
     if args.input.is_file():
         videos = [args.input]
@@ -143,7 +180,7 @@ def main(argv=None):
         try:
             m = extract_for_video(
                 v, args.output, args.fps, tuple(args.size), args.clip_seconds,
-                args.ext,
+                args.ext, hop_seconds=args.hop_seconds, quality=args.quality,
             )
             total_clips += len(m["clips"])
             print(f"[{i + 1}/{len(videos)}] {v.name}: {len(m['clips'])} clips")

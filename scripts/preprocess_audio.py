@@ -76,7 +76,7 @@ def mode_mel(args) -> None:
                 if len(seg) < b - a:
                     seg = np.pad(seg, (0, (b - a) - len(seg)))
                 M = logmel(seg, args.sr, n_fft=args.n_fft, hop=args.hop,
-                           n_mels=args.n_mels)
+                           n_mels=args.n_mels, fmin=args.fmin, fmax=args.fmax)
                 dst = args.output / f"{src.stem}_clip_{ci:04d}.npz"
                 dst.parent.mkdir(parents=True, exist_ok=True)
                 np.savez_compressed(dst, logmel=M, sr=args.sr)
@@ -85,7 +85,7 @@ def mode_mel(args) -> None:
                 n += 1
         else:
             M = logmel(y, args.sr, n_fft=args.n_fft, hop=args.hop,
-                       n_mels=args.n_mels)
+                       n_mels=args.n_mels, fmin=args.fmin, fmax=args.fmax)
             dst = args.output / f"{src.stem}.npz"
             dst.parent.mkdir(parents=True, exist_ok=True)
             np.savez_compressed(dst, logmel=M, sr=args.sr)
@@ -99,18 +99,28 @@ def mode_mel(args) -> None:
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description="Audio preprocessing (wav | mel).")
-    ap.add_argument("--input", type=Path, required=True)
-    ap.add_argument("--output", type=Path, required=True)
+    ap.add_argument("--input", "--in", dest="input", type=Path, default=None)
+    ap.add_argument("--output", "--out", dest="output", type=Path, default=None)
+    # reference-compatible aliases (preprocess_audio.py:269-270)
+    ap.add_argument("--input_path", dest="input_alias", type=Path, default=None)
+    ap.add_argument("--output_dir", dest="output_alias", type=Path, default=None)
     ap.add_argument("--mode", type=str, default="wav", choices=["wav", "mel"])
     ap.add_argument("--sr", type=int, default=16000)
-    ap.add_argument("--rms-norm", action="store_true")
+    ap.add_argument("--rms-norm", "--norm-rms", dest="rms_norm",
+                    action="store_true")
     ap.add_argument("--n-mels", type=int, default=80)
     ap.add_argument("--n-fft", type=int, default=1024)
-    ap.add_argument("--hop", type=int, default=256)
+    ap.add_argument("--hop", "--hop-length", dest="hop", type=int, default=256)
+    ap.add_argument("--fmin", type=float, default=0.0)
+    ap.add_argument("--fmax", type=float, default=None)
     ap.add_argument("--clip-seconds", type=float, default=3.0)
     ap.add_argument("--align-to", type=Path, default=None,
                     help="Video clips.json to window the audio against")
     args = ap.parse_args(argv)
+    args.input = args.input or args.input_alias
+    args.output = args.output or args.output_alias
+    if args.input is None or args.output is None:
+        ap.error("supply --input/--output (or --input_path/--output_dir)")
     args.output.mkdir(parents=True, exist_ok=True)
     (mode_wav if args.mode == "wav" else mode_mel)(args)
 
