@@ -355,6 +355,17 @@ def create_trainer(
         cfg, dtype=dtype, remat=bool(cfg.get("parallel", {}).get("remat_core", False))
     )
     model = AVDiffusionModel(mdl_cfg)
+    # codec timing diagnostic (reference check_consistency semantics)
+    cc = mdl_cfg.codec
+    if cc.frames_per_clip:
+        dur_est = cc.frames_per_clip * cc.hop_samples / float(cc.sr)
+        want = float(cfg["data"].get("clip_seconds", dur_est))
+        if abs(dur_est - want) > 0.02:
+            import warnings
+
+            warnings.warn(
+                f"[AudioCodec] frames_per_clip x hop = {dur_est:.3f}s does not "
+                f"match clip_seconds={want:.3f}s; check audio latent config.")
     mesh = mesh if mesh is not None else make_mesh_from_config(cfg)
 
     if batch_size is None:
