@@ -2,12 +2,17 @@
 
 Parity with the reference `avdiff/models/infer/stream_infer.py` (which
 shipped with a broken import and could never run — SURVEY §2.12.1): slice the
-prompt into window_seconds windows at hop_seconds, run the one-shot sampler
-per window (model built ONCE; the scan-compiled sampler is reused so each
-window is a single device call), stitch with cosine-crossfade overlap-add for
-audio (stream_infer.py:82-112) and triangular alpha-blend for video
-(115-143).  Windowing/stitching are host-side numpy — they're O(output size)
-and not TPU-critical.
+prompt into window_seconds windows at hop_seconds, sample the other modality
+per window, stitch with cosine-crossfade overlap-add for audio
+(stream_infer.py:82-112) and triangular alpha-blend for video (115-143).
+Windowing/stitching are host-side numpy — they're O(output size) and not
+TPU-critical.
+
+TPU-native design: the model is built ONCE and the scan sampler is compiled
+ONCE per direction (sample_clip.get_sampler jit cache); windows ride the
+sampler's batch axis in fixed-size chunks of `streaming.max_batch_windows`
+(default 8, last chunk padded to the same shape), so N windows cost
+ceil(N/B) device calls and exactly one trace.
 """
 
 from __future__ import annotations
@@ -21,7 +26,7 @@ import numpy as np
 from ..media.audio_io import read_wav, write_wav
 from ..media.video_io import load_frames_dir, write_frames
 from ..utils.io import ensure_dir, load_config
-from .sample_clip import build_components, sample_one_direction, select_device
+from .sample_clip import build_components, select_device
 
 
 # ---------------------------------------------------------------------------
@@ -126,6 +131,44 @@ def crossfade_video(chunks: np.ndarray, hop: int, win: int, fade_f: int) -> np.n
 
 
 # ---------------------------------------------------------------------------
+# batched window sampling
+# ---------------------------------------------------------------------------
+
+
+def sample_windows_batched(
+    chunks: np.ndarray,
+    *,
+    cfg,
+    model,
+    params,
+    prompt_modality: str,
+    max_batch: int,
+) -> np.ndarray:
+    """Run all N windows through the batched scan sampler in ceil(N/B)
+    device calls.  The last chunk is padded (repeating the final window) to
+    the same batch shape so the jit cache sees exactly one trace."""
+    from .sample_clip import sample_one_direction
+
+    N = chunks.shape[0]
+    B = max(1, min(int(max_batch), N))
+    outs = []
+    for a in range(0, N, B):
+        batch = chunks[a : a + B]
+        pad = B - batch.shape[0]
+        if pad:
+            batch = np.concatenate([batch, np.repeat(batch[-1:], pad, axis=0)])
+        kw = {"prompt_video": batch} if prompt_modality == "video" else {
+            "prompt_audio": batch}
+        key = "audio" if prompt_modality == "video" else "video"
+        out = sample_one_direction(
+            cfg=cfg, model=model, params=params,
+            prompt_modality=prompt_modality, **kw,
+        )[key]
+        outs.append(out[: out.shape[0] - pad] if pad else out)
+    return np.concatenate(outs, axis=0)
+
+
+# ---------------------------------------------------------------------------
 # CLI
 # ---------------------------------------------------------------------------
 
@@ -151,6 +194,7 @@ def main(argv=None):
     win_s = float(stream.get("window_seconds", 3.0))
     hop_s = float(stream.get("hop_seconds", 1.0))
     xfade_s = float(stream.get("crossfade_seconds", 0.25))
+    max_batch = int(stream.get("max_batch_windows", 8))
     fps = int(cfg["video"]["fps"])
     sr = int(cfg["audio"]["sr"])
     prompt_modality = cfg.get("sampling", {}).get("prompt_modality", "video")
@@ -164,15 +208,12 @@ def main(argv=None):
         H, W = (int(x) for x in cfg["video"]["size"])
         frames_all = load_frames_dir(args.frames, size_hw=(H, W))
         chunks, _, _ = split_frames_into_windows(frames_all, fps, win_s, hop_s)
-        outs = [
-            sample_one_direction(
-                cfg=cfg, model=model, params=params,
-                prompt_modality="video", prompt_video=chunks[i],
-            )["audio"]
-            for i in range(chunks.shape[0])
-        ]
+        outs = sample_windows_batched(
+            chunks, cfg=cfg, model=model, params=params,
+            prompt_modality="video", max_batch=max_batch,
+        )
         wav = crossfade_audio(
-            np.stack(outs, axis=0), sr=sr,
+            outs, sr=sr,
             hop=int(round(sr * hop_s)), win=int(round(sr * win_s)),
             fade_s=xfade_s,
         )
@@ -184,15 +225,12 @@ def main(argv=None):
             raise SystemExit("Provide --audio for prompt_modality=audio")
         wav_all, _ = read_wav(args.audio, sr=sr)
         chunks, _, _ = split_audio_into_windows(wav_all, sr, win_s, hop_s)
-        outs = [
-            sample_one_direction(
-                cfg=cfg, model=model, params=params,
-                prompt_modality="audio", prompt_audio=chunks[i],
-            )["video"]
-            for i in range(chunks.shape[0])
-        ]
+        outs = sample_windows_batched(
+            chunks, cfg=cfg, model=model, params=params,
+            prompt_modality="audio", max_batch=max_batch,
+        )
         frames = crossfade_video(
-            np.stack(outs, axis=0),
+            outs,
             hop=int(round(fps * hop_s)), win=int(round(fps * win_s)),
             fade_f=int(round(xfade_s * fps)),
         )
