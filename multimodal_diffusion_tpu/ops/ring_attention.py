@@ -24,7 +24,11 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+try:  # jax >= 0.4.35 top-level API; the experimental path is deprecated
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 
 
 def _ring_attention_local(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,

@@ -136,8 +136,9 @@ def main(argv=None):
             num_workers=int(cfg["data"].get("num_workers", 2)) or 2,
         )
 
-        def val_fn(step):
-            metrics = run_validation(bundle, val_loader.epoch(0), n_batches=8)
+        def val_fn(step, state):
+            metrics = run_validation(bundle, val_loader.epoch(0), n_batches=8,
+                                     params=state.params)
             if writer is not None:
                 writer.write(step, metrics)
             print(f"step {step}: " + " ".join(

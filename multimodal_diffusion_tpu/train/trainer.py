@@ -315,17 +315,21 @@ def build_eval_step(
 
 
 def run_validation(bundle: "TrainerBundle", batches, n_batches: int = 8,
-                   seed: int = 0) -> Dict[str, float]:
-    """Average the eval step over up to n_batches; returns host floats."""
+                   seed: int = 0, params=None) -> Dict[str, float]:
+    """Average the eval step over up to n_batches; returns host floats.
+
+    `params` defaults to the bundle's initial params; pass the live training
+    params explicitly when validating mid-run (run_training hands them to
+    val_fn)."""
     if bundle.eval_step is None:
         raise RuntimeError("bundle has no eval_step")
+    params = params if params is not None else bundle.state.params
     key = jax.random.PRNGKey(seed)
     acc: Dict[str, list] = {}
     for i, batch in enumerate(batches):
         if i >= n_batches:
             break
         key, sub = jax.random.split(key)
-        B_, _, T_, H_, W_ = bundle.latent_shapes["video"]
         host_batch = {
             "video": batch["video"],
             "audio": batch["audio"],
@@ -333,7 +337,7 @@ def run_validation(bundle: "TrainerBundle", batches, n_batches: int = 8,
             "has_audio": batch["has_audio"],
         }
         dev_batch = shard_batch(bundle.mesh, host_batch)
-        m = bundle.eval_step(bundle.state.params, dev_batch, sub)
+        m = bundle.eval_step(params, dev_batch, sub)
         for k, v in jax.device_get(m).items():
             acc.setdefault(k, []).append(float(v))
     return {k: float(np.mean(v)) for k, v in acc.items()}
@@ -493,7 +497,8 @@ def run_training(
     """Drive the jitted step over a host batch iterator.
 
     log_fn(step, metrics_dict) every `log_every`; checkpoint_fn(step, state)
-    every `ckpt_every` (reference cadence, trainer.py:390-398).
+    every `ckpt_every` (reference cadence, trainer.py:390-398);
+    val_fn(step, state) every `val_every`.
     """
     t_cfg = cfg["training"]
     max_steps = max_steps if max_steps is not None else int(t_cfg["max_steps"])
@@ -583,7 +588,6 @@ def run_training(
         if checkpoint_fn is not None and new_step % ckpt_every == 0:
             checkpoint_fn(new_step, state)
         if val_fn is not None and val_every and new_step % val_every == 0:
-            bundle.state = state  # expose current params to run_validation
-            val_fn(new_step)
+            val_fn(new_step, state)
     bundle.state = state
     return state
