@@ -69,13 +69,24 @@ class AVDiffusionConfig:
 
     @classmethod
     def from_config(cls, cfg: Dict, dtype: Any = jnp.float32,
-                    remat: bool = False) -> "AVDiffusionConfig":
+                    remat: bool = False, mesh: Any = None) -> "AVDiffusionConfig":
         tok = cfg["tokenizer"]
         tube = tok["video"]["tube"]
         chunk = tok["audio"]["chunk"]
         heads = cfg["model"]["heads"]
         emb = cfg.get("embeddings", {})
         posenc = emb.get("posenc", {})
+        # sequence parallelism: `parallel.context > 1` routes the MMDiT
+        # through ring attention over the mesh's 'context' axis
+        core_extra = {}
+        n_context = int((cfg.get("parallel", {}) or {}).get("context", 1))
+        if n_context > 1:
+            if mesh is None or "context" not in getattr(mesh, "axis_names", ()):
+                raise ValueError(
+                    "parallel.context > 1 requires a mesh with a 'context' "
+                    "axis (make_mesh_from_config builds one)"
+                )
+            core_extra = {"mesh": mesh, "context_axis": "context"}
         return cls(
             width=int(tok["width"]),
             tube=(int(tube["t"]), int(tube["h"]), int(tube["w"])),
@@ -83,7 +94,7 @@ class AVDiffusionConfig:
             vae=VideoVAEConfig.from_dict(cfg["video"], dtype=dtype),
             codec=AudioCodecConfig.from_dict(cfg["audio"], dtype=dtype),
             core=MMDiTConfig.from_dict(cfg["model"]["core"], dtype=dtype,
-                                       remat=remat),
+                                       remat=remat, **core_extra),
             head_hidden=int(heads["video"]["hidden_dim"]),
             head_dropout=float(cfg["model"]["core"].get("dropout", 0.1)),
             head_activation=heads["video"].get("activation", "gelu"),

@@ -100,13 +100,19 @@ def rotary_embed(q: jnp.ndarray, k: jnp.ndarray, max_period: float = 10_000.0):
 
 class Attention(nn.Module):
     """Self-attention with fused QKV projection (torch MultiheadAttention
-    semantics: joint in-proj, out-proj, biases — reference mmdt.py:51-61)."""
+    semantics: joint in-proj, out-proj, biases — reference mmdt.py:51-61).
+
+    When `context_axis`/`mesh` are set (sequence parallelism), attention runs
+    as the ppermute ring (ops/ring_attention.py): K/V shards circle the mesh
+    axis and the N x N score matrix is never materialized on one device."""
 
     n_heads: int
     attn_dropout: float = 0.0
     resid_dropout: float = 0.0
     rope: bool = False
     dtype: Dtype = jnp.float32
+    mesh: Any = None
+    context_axis: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -137,7 +143,25 @@ class Attention(nn.Module):
         if self.rope:
             q, k = rotary_embed(q, k)
 
-        out = multi_head_attention(q, k, v, bias)
+        use_cp = (
+            self.context_axis is not None
+            and self.mesh is not None
+            # param init runs at minimal shapes; fall back there (and for any
+            # sequence the context axis can't divide)
+            and N % self.mesh.shape[self.context_axis] == 0
+        )
+        if use_cp:
+            if bias is not None:
+                raise NotImplementedError(
+                    "context-parallel attention does not support attention "
+                    "bias/key-padding masks yet"
+                )
+            from ..ops.ring_attention import ring_attention_sharded
+
+            out = ring_attention_sharded(q, k, v, self.mesh,
+                                         axis=self.context_axis)
+        else:
+            out = multi_head_attention(q, k, v, bias)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, d)
         out = nn.Dense(
             d,
@@ -187,7 +211,11 @@ class MLP(nn.Module):
 
 
 class Block(nn.Module):
-    """Pre-norm residual block: x + attn(norm(x)); x + mlp(norm(x))."""
+    """Pre-norm residual block: x + attn(norm(x)); x + mlp(norm(x)).
+
+    Under context parallelism the [B, N, d] activation keeps its token axis
+    sharded over the mesh's context axis between layers (norm/MLP/dense are
+    token-local), so per-device activation memory is O(N / n_context)."""
 
     n_heads: int
     mlp_ratio: float
@@ -197,6 +225,23 @@ class Block(nn.Module):
     rope: bool
     gelu_exact: bool = True
     dtype: Dtype = jnp.float32
+    mesh: Any = None
+    context_axis: Optional[str] = None
+
+    def _constrain(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.mesh is not None and self.context_axis is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_ctx = self.mesh.shape[self.context_axis]
+            n_data = self.mesh.shape.get("data", 1)
+            if x.shape[0] % n_data == 0 and x.shape[1] % n_ctx == 0:
+                return jax.lax.with_sharding_constraint(
+                    x,
+                    NamedSharding(self.mesh,
+                                  P("data", self.context_axis, None)),
+                )
+            return x  # minimal-shape init / indivisible seq: unconstrained
+        return nn.with_logical_constraint(x, ("batch", "seq", "embed"))
 
     @nn.compact
     def __call__(
@@ -205,20 +250,22 @@ class Block(nn.Module):
         bias: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
     ) -> jnp.ndarray:
-        x = nn.with_logical_constraint(x, ("batch", "seq", "embed"))
+        x = self._constrain(x)
         x = x + Attention(
             self.n_heads,
             attn_dropout=self.attn_dropout,
             resid_dropout=self.dropout,
             rope=self.rope,
             dtype=self.dtype,
+            mesh=self.mesh,
+            context_axis=self.context_axis,
             name="attn",
         )(make_norm(self.norm, self.dtype)(x), bias, deterministic)
         x = x + MLP(self.mlp_ratio, self.dropout, self.gelu_exact,
                     dtype=self.dtype, name="mlp")(
             make_norm(self.norm, self.dtype)(x), deterministic
         )
-        return nn.with_logical_constraint(x, ("batch", "seq", "embed"))
+        return self._constrain(x)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -237,6 +284,10 @@ class MMDiTConfig:
     gelu_exact: bool = True  # erf GELU (torch parity); False = tanh approx
     dtype: Any = jnp.float32
     remat: bool = False
+    # sequence/context parallelism (opt-in): mesh axis to shard the token
+    # axis over + the Mesh itself; attention becomes a ppermute ring.
+    mesh: Any = None
+    context_axis: Optional[str] = None
 
     @classmethod
     def from_dict(cls, d: dict, **overrides) -> "MMDiTConfig":
@@ -292,6 +343,8 @@ class MMDiT(nn.Module):
                 cfg.rope,
                 cfg.gelu_exact,
                 dtype=cfg.dtype,
+                mesh=cfg.mesh,
+                context_axis=cfg.context_axis,
                 name=f"block_{i}",
             )(x, bias, deterministic)
 

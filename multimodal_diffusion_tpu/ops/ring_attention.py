@@ -79,15 +79,31 @@ def ring_attention_sharded(
     v: jnp.ndarray,
     mesh: Mesh,
     axis: str = "model",
+    batch_axis: str = "auto",
+    head_axis: str = "auto",
 ) -> jnp.ndarray:
     """Sequence-parallel attention: [B, H, N, Dh] with N sharded over `axis`.
 
-    The caller may pass fully-replicated arrays; shard_map's in_specs split
-    them.  N must be divisible by the axis size."""
+    N must be divisible by the axis size.  On a multi-axis mesh the batch and
+    head dims are partitioned over `batch_axis` / `head_axis` too (the ring
+    only communicates over `axis`); "auto" picks 'data'/'model' when those
+    axes exist, divide the dim, and differ from `axis` — without this, a
+    batch sharded over 'data' would be all-gathered at the shard_map
+    boundary."""
     n_dev = mesh.shape[axis]
     if q.shape[2] % n_dev:
         raise ValueError(f"sequence {q.shape[2]} not divisible by {axis}={n_dev}")
-    spec = P(None, None, axis, None)
+
+    def pick(pref: str, dim: int):
+        if pref != "auto":
+            return pref
+        for cand in ("data",) if dim == 0 else ("model",):
+            if (cand in mesh.axis_names and cand != axis
+                    and q.shape[dim] % mesh.shape[cand] == 0):
+                return cand
+        return None
+
+    spec = P(pick(batch_axis, 0), pick(head_axis, 1), axis, None)
     fn = shard_map(
         functools.partial(_ring_attention_local, axis=axis),
         mesh=mesh,

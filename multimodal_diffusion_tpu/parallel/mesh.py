@@ -4,11 +4,15 @@ The reference scales with single-node DDP over NCCL (train_joint.py:28-37,
 trainer.py:206-211).  The TPU-native equivalent (SURVEY §2.B) is a
 `jax.sharding.Mesh` with named axes:
 
-  'data'  — batch (data parallel); gradient reduction compiles to an XLA
-            all-reduce riding ICI — there is no NCCL analog to port.
-  'model' — tensor parallel: attention heads + MLP hidden dims of the MMDiT
-            and the noise-head trunks are sharded here (see the logical axis
-            annotations in models/mmdit.py).
+  'data'    — batch (data parallel); gradient reduction compiles to an XLA
+              all-reduce riding ICI — there is no NCCL analog to port.
+  'model'   — tensor parallel: attention heads + MLP hidden dims of the MMDiT
+              and the noise-head trunks are sharded here (see the logical axis
+              annotations in models/mmdit.py).
+  'context' — sequence/context parallel (opt-in via `parallel.context: N`):
+              MMDiT activations keep the token axis sharded here and
+              attention runs as a ppermute ring (ops/ring_attention.py), so
+              window length scales past one chip's HBM.
 
 Multi-host: call `jax.distributed.initialize()` before `make_mesh` (the
 train CLI does this automatically when JAX coordination env vars are set);
@@ -37,24 +41,37 @@ LOGICAL_RULES = (
 def make_mesh(
     data: int = -1,
     model: int = 1,
+    context: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Build a ('data', 'model') mesh.
+    """Build a ('data', 'model') mesh, or ('data', 'model', 'context') when
+    context > 1 (sequence parallelism opt-in; a 2-axis mesh stays the default
+    so existing specs/checkpoint tooling are unaffected).
 
-    data = -1 consumes all remaining devices after the model axis.  A single
-    device yields a trivial 1x1 mesh so every code path is mesh-agnostic.
+    data = -1 consumes all remaining devices after the other axes.  A single
+    device yields a trivial mesh so every code path is mesh-agnostic.
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     model = max(1, int(model))
+    context = max(1, int(context))
     if data == -1:
-        if n % model:
-            raise ValueError(f"{n} devices not divisible by model={model}")
-        data = n // model
-    if data * model > n:
-        raise ValueError(f"mesh {data}x{model} needs more than {n} devices")
+        if n % (model * context):
+            raise ValueError(
+                f"{n} devices not divisible by model*context={model * context}"
+            )
+        data = n // (model * context)
+    if data * model * context > n:
+        raise ValueError(
+            f"mesh {data}x{model}x{context} needs more than {n} devices"
+        )
     # an explicit smaller mesh uses a device subset (useful for tests and
     # for pinning jobs to part of a slice)
+    if context > 1:
+        arr = np.asarray(devices[: data * model * context]).reshape(
+            data, model, context
+        )
+        return Mesh(arr, axis_names=("data", "model", "context"))
     arr = np.asarray(devices[: data * model]).reshape(data, model)
     return Mesh(arr, axis_names=("data", "model"))
 
@@ -64,5 +81,6 @@ def make_mesh_from_config(cfg: dict, devices=None) -> Mesh:
     return make_mesh(
         data=int(par.get("data", -1)),
         model=int(par.get("model", 1)),
+        context=int(par.get("context", 1)),
         devices=devices,
     )

@@ -355,8 +355,11 @@ def create_trainer(
     batch_size: Optional[int] = None,
 ) -> TrainerBundle:
     dtype = compute_dtype_from_config(cfg)
+    mesh = mesh if mesh is not None else make_mesh_from_config(cfg)
     mdl_cfg = AVDiffusionConfig.from_config(
-        cfg, dtype=dtype, remat=bool(cfg.get("parallel", {}).get("remat_core", False))
+        cfg, dtype=dtype,
+        remat=bool(cfg.get("parallel", {}).get("remat_core", False)),
+        mesh=mesh,
     )
     model = AVDiffusionModel(mdl_cfg)
     # codec timing diagnostic (reference check_consistency semantics)
@@ -370,7 +373,6 @@ def create_trainer(
             warnings.warn(
                 f"[AudioCodec] frames_per_clip x hop = {dur_est:.3f}s does not "
                 f"match clip_seconds={want:.3f}s; check audio latent config.")
-    mesh = mesh if mesh is not None else make_mesh_from_config(cfg)
 
     if batch_size is None:
         per_chip = int(cfg["data"]["batch_size"])
