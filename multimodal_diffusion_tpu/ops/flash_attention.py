@@ -1,4 +1,4 @@
-"""Blockwise (flash-style) attention — Pallas TPU kernel.
+"""Blockwise (flash-style) attention — Pallas TPU kernels, fwd + bwd.
 
 Online-softmax attention with VMEM-tiled Q blocks so memory is linear in
 sequence length; this is what lets streaming windows grow past the mvp's 133
@@ -7,18 +7,24 @@ attention kernel should be written blockwise (flash-style) so sequence
 growth is memory-linear").
 
 Design (per /opt/skills/guides/pallas_guide.md):
-  * grid = (B*H, ceil(N / BLOCK_Q)); each program owns one Q tile and loops
-    the K/V tiles with the online max/sum update (MXU matmuls in fp32).
+  * forward: grid = (B*H, ceil(N / BLOCK_Q)); each program owns one Q tile
+    and loops the K/V tiles with the online max/sum update (MXU matmuls in
+    fp32).  Also emits the per-row logsumexp as the softmax residual.
+  * backward: TWO blockwise kernels recomputing probabilities from the saved
+    logsumexp (FlashAttention-2 scheme) — dK/dV gridded over K tiles looping
+    Q tiles, dQ gridded over Q tiles looping K tiles; dS = P * (dP - D) with
+    D = rowsum(dO * O) precomputed in XLA.  Nothing N^2 is ever resident, so
+    long-window TRAINING is memory-linear too (round-1 used an O(N^2) XLA
+    recompute here).
   * K/V for one (batch, head) live in VMEM (N x Dh — ~1 MB at N=2048,
     Dh=128, far under the ~16 MB budget); longer windows still fit because
     only O(N * Dh) is resident, never O(N^2).
-  * padded tail keys are masked with a compile-time iota comparison
-    (shapes are static, so no dynamic control flow).
-  * backward: custom_vjp that recomputes attention with the XLA einsum path
-    (exact same math) — training sequences are short; the kernel's win is
-    the inference/scan hot loop.
+  * padded tail keys are masked with a compile-time iota comparison; padded
+    queries carry zero dO (the wrapper zero-pads), which zeroes their dK/dV
+    contributions without explicit row masks.
 
 The public wrapper pads N to the tile size and handles [B, H, N, Dh] I/O.
+Kernels run in interpreter mode automatically off-TPU (CPU tests).
 """
 
 from __future__ import annotations
@@ -27,19 +33,31 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .attention import mha_reference
-
 BLOCK_Q = 128
 BLOCK_K = 128
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_valid: int,
-                  block_k: int):
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
+                      n_valid: int, block_k: int):
     """One Q tile vs all K/V tiles, online softmax.
 
-    q_ref: [1, BQ, Dh]; k_ref, v_ref: [1, N_pad, Dh]; o_ref: [1, BQ, Dh].
+    q_ref: [1, BQ, Dh]; k_ref, v_ref: [1, N_pad, Dh]; o_ref: [1, BQ, Dh];
+    lse_ref: [1, BQ, 1] (logsumexp of the scaled scores, the bwd residual;
+    trailing singleton keeps the block's last-two dims TPU-tileable).
     """
-    q = q_ref[0].astype(jnp.float32) * scale  # [BQ, Dh]
+    # native-dtype (bf16) MXU inputs, fp32 accumulation: fp32 operands run
+    # the MXU at a fraction of peak; softmax statistics stay fp32 (same
+    # structure as mha_reference, so numerics match the XLA path)
+    q = q_ref[0]  # [BQ, Dh]
     n_pad = k_ref.shape[1]
     bq = q.shape[0]
     dh = q.shape[1]
@@ -50,57 +68,66 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_valid: int,
 
     num_kb = n_pad // block_k
     for kb in range(num_kb):  # static unroll: n_pad is compile-time
-        k = k_ref[0, kb * block_k : (kb + 1) * block_k, :].astype(jnp.float32)
-        v = v_ref[0, kb * block_k : (kb + 1) * block_k, :].astype(jnp.float32)
+        k = k_ref[0, kb * block_k : (kb + 1) * block_k, :]
+        v = v_ref[0, kb * block_k : (kb + 1) * block_k, :]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [BQ, BK]
+        ) * scale  # [BQ, BK] fp32
         lo = kb * block_k
         if lo + block_k > n_valid:
             # mask padded keys (compile-time bound; iota must be >= 2D on TPU)
             col = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1) + lo
             s = jnp.where(col < n_valid, s, -jnp.inf)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)  # [BQ, BK]
+        p = jnp.exp(s - m_new)  # [BQ, BK] fp32
         alpha = jnp.exp(m - m_new)
         l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         m = m_new
 
-    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    l_safe = jnp.maximum(l, 1e-30)
+    o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
+    lse_ref[0] = m + jnp.log(l_safe)  # [BQ, 1]
+
+
+def _flat_pad(x, B, H, N, Dh, target):
+    x = x.reshape(B * H, N, Dh)
+    if target > N:
+        x = jnp.pad(x, ((0, 0), (0, target - N), (0, 0)))
+    return x
 
 
 def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                   interpret: bool = False) -> jnp.ndarray:
+                   interpret: bool | None = None):
+    """Returns (out [B,H,N,Dh], lse [B*H, pad_q] fp32)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    if interpret is None:
+        interpret = _use_interpret()
     B, H, N, Dh = q.shape
     scale = 1.0 / (Dh**0.5)
     n_pad = -(-N // BLOCK_K) * BLOCK_K
     pad_q = -(-N // BLOCK_Q) * BLOCK_Q
 
-    def flat_pad(x, target):
-        x = x.reshape(B * H, N, Dh)
-        if target > N:
-            x = jnp.pad(x, ((0, 0), (0, target - N), (0, 0)))
-        return x
-
-    qf = flat_pad(q, pad_q)
-    kf = flat_pad(k, n_pad)
-    vf = flat_pad(v, n_pad)
+    qf = _flat_pad(q, B, H, N, Dh, pad_q)
+    kf = _flat_pad(k, B, H, N, Dh, n_pad)
+    vf = _flat_pad(v, B, H, N, Dh, n_pad)
 
     grid = (B * H, pad_q // BLOCK_Q)
     kernel = functools.partial(
-        _flash_kernel, scale=scale, n_valid=N, block_k=BLOCK_K
+        _flash_fwd_kernel, scale=scale, n_valid=N, block_k=BLOCK_K
     )
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((B * H, pad_q, Dh), q.dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((B * H, pad_q, Dh), q.dtype),
+            jax.ShapeDtypeStruct((B * H, pad_q, 1), jnp.float32),
+        ),
         grid_spec=pl.GridSpec(
             grid=grid,
             in_specs=[
@@ -111,29 +138,230 @@ def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                 pl.BlockSpec((1, n_pad, Dh), lambda bh, qi: (bh, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
+            out_specs=(
+                pl.BlockSpec((1, BLOCK_Q, Dh), lambda bh, qi: (bh, qi, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BLOCK_Q, 1), lambda bh, qi: (bh, qi, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+        ),
+        interpret=interpret,
+    )(qf, kf, vf)
+    return out[:, :N, :].reshape(B, H, N, Dh), lse
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+
+def _flash_bwd_dkdv_kernel(q_ref, do_ref, lse_ref, dd_ref, k_ref, v_ref,
+                           dk_ref, dv_ref, *, scale: float, n_valid: int,
+                           block_q: int):
+    """One K/V tile vs all Q tiles.
+
+    q_ref, do_ref: [1, pad_q, Dh]; lse_ref, dd_ref: [1, pad_q, 1];
+    k_ref, v_ref, dk_ref, dv_ref: [1, BK, Dh].
+    Padded-q rows have dO == 0, so their dK/dV contributions vanish.
+    """
+    from jax.experimental import pallas as pl
+
+    kb = k_ref[0]  # [BK, Dh] native dtype (bf16 MXU inputs, fp32 accum)
+    vb = v_ref[0]
+    pad_q = q_ref.shape[1]
+    bk = kb.shape[0]
+    dh = kb.shape[1]
+    kv_start = pl.program_id(1) * bk  # global column offset of this K block
+
+    dk = jnp.zeros((bk, dh), jnp.float32)
+    dv = jnp.zeros((bk, dh), jnp.float32)
+
+    num_qb = pad_q // block_q
+    for qb in range(num_qb):
+        qn = q_ref[0, qb * block_q : (qb + 1) * block_q, :]
+        do = do_ref[0, qb * block_q : (qb + 1) * block_q, :]
+        lse = lse_ref[0, qb * block_q : (qb + 1) * block_q, :]  # [BQ, 1]
+        dd = dd_ref[0, qb * block_q : (qb + 1) * block_q, :]
+
+        s = jax.lax.dot_general(
+            qn, kb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [BQ, BK] fp32
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kv_start
+        p = jnp.where(col < n_valid, jnp.exp(s - lse), 0.0)
+
+        # dV += P^T dO
+        dv = dv + jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # dP = dO V^T ; dS = P * (dP - D)
+        dp = jax.lax.dot_general(
+            do, vb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = (p * (dp - dd)).astype(qn.dtype)
+        # dK += dS^T q * scale (scale folded after the accumulation loop)
+        dk = dk + jax.lax.dot_general(
+            ds, qn, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _flash_bwd_dq_kernel(k_ref, v_ref, do_ref, lse_ref, dd_ref, q_ref,
+                         dq_ref, *, scale: float, n_valid: int, block_k: int):
+    """One Q tile vs all K/V tiles.
+
+    k_ref, v_ref: [1, n_pad, Dh]; q_ref, do_ref, dq_ref: [1, BQ, Dh];
+    lse_ref, dd_ref: [1, BQ, 1]."""
+    qn = q_ref[0]  # native dtype (bf16 MXU inputs, fp32 accum)
+    do = do_ref[0]
+    lse = lse_ref[0]  # [BQ, 1]
+    dd = dd_ref[0]
+    n_pad = k_ref.shape[1]
+    bq = qn.shape[0]
+    dh = qn.shape[1]
+
+    dq = jnp.zeros((bq, dh), jnp.float32)
+    num_kb = n_pad // block_k
+    for kb_i in range(num_kb):
+        kb = k_ref[0, kb_i * block_k : (kb_i + 1) * block_k, :]
+        vb = v_ref[0, kb_i * block_k : (kb_i + 1) * block_k, :]
+        s = jax.lax.dot_general(
+            qn, kb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        lo = kb_i * block_k
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + lo
+        p = jnp.where(col < n_valid, jnp.exp(s - lse), 0.0)
+        dp = jax.lax.dot_general(
+            do, vb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = (p * (dp - dd)).astype(kb.dtype)
+        dq = dq + jax.lax.dot_general(
+            ds, kb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
+
+
+def _flash_backward(q, k, v, out, lse, g, interpret: bool | None = None):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = _use_interpret()
+    B, H, N, Dh = q.shape
+    scale = 1.0 / (Dh**0.5)
+    n_pad = -(-N // BLOCK_K) * BLOCK_K
+    pad_q = -(-N // BLOCK_Q) * BLOCK_Q
+
+    qf = _flat_pad(q, B, H, N, Dh, pad_q)
+    dof = _flat_pad(g, B, H, N, Dh, pad_q)  # zero dO at padded q rows
+    kf = _flat_pad(k, B, H, N, Dh, n_pad)
+    vf = _flat_pad(v, B, H, N, Dh, n_pad)
+
+    # D = rowsum(dO * O) — O(N*Dh) elementwise, fine in XLA
+    delta = jnp.sum(
+        g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
+    ).reshape(B * H, N)
+    if pad_q > N:
+        delta = jnp.pad(delta, ((0, 0), (0, pad_q - N)))
+    delta = delta[..., None]  # [BH, pad_q, 1] (TPU-tileable trailing dim)
+
+    dkdv_kernel = functools.partial(
+        _flash_bwd_dkdv_kernel, scale=scale, n_valid=N, block_q=BLOCK_Q
+    )
+    dk, dv = pl.pallas_call(
+        dkdv_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((B * H, n_pad, Dh), q.dtype),
+            jax.ShapeDtypeStruct((B * H, n_pad, Dh), q.dtype),
+        ),
+        grid_spec=pl.GridSpec(
+            grid=(B * H, n_pad // BLOCK_K),
+            in_specs=[
+                pl.BlockSpec((1, pad_q, Dh), lambda bh, ki: (bh, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, pad_q, Dh), lambda bh, ki: (bh, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, pad_q, 1), lambda bh, ki: (bh, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, pad_q, 1), lambda bh, ki: (bh, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BLOCK_K, Dh), lambda bh, ki: (bh, ki, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BLOCK_K, Dh), lambda bh, ki: (bh, ki, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, BLOCK_K, Dh), lambda bh, ki: (bh, ki, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BLOCK_K, Dh), lambda bh, ki: (bh, ki, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+        ),
+        interpret=interpret,
+    )(qf, dof, lse, delta, kf, vf)
+
+    dq_kernel = functools.partial(
+        _flash_bwd_dq_kernel, scale=scale, n_valid=N, block_k=BLOCK_K
+    )
+    dq = pl.pallas_call(
+        dq_kernel,
+        out_shape=jax.ShapeDtypeStruct((B * H, pad_q, Dh), q.dtype),
+        grid_spec=pl.GridSpec(
+            grid=(B * H, pad_q // BLOCK_Q),
+            in_specs=[
+                pl.BlockSpec((1, n_pad, Dh), lambda bh, qi: (bh, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n_pad, Dh), lambda bh, qi: (bh, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BLOCK_Q, Dh), lambda bh, qi: (bh, qi, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BLOCK_Q, 1), lambda bh, qi: (bh, qi, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BLOCK_Q, 1), lambda bh, qi: (bh, qi, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BLOCK_Q, Dh), lambda bh, qi: (bh, qi, 0),
+                             memory_space=pltpu.VMEM),
+            ],
             out_specs=pl.BlockSpec((1, BLOCK_Q, Dh), lambda bh, qi: (bh, qi, 0),
                                    memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
-    )(qf, kf, vf)
-    return out[:, :N, :].reshape(B, H, N, Dh)
+    )(kf, vf, dof, lse, delta, qf)
+
+    def unpad(x):
+        return x[:, :N, :].reshape(B, H, N, Dh)
+
+    return unpad(dq), unpad(dk), unpad(dv)
+
+
+# ---------------------------------------------------------------------------
+# public op
+# ---------------------------------------------------------------------------
 
 
 @jax.custom_vjp
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """[B, H, N, Dh] x3 -> [B, H, N, Dh]; softmax stats in fp32."""
-    return _flash_forward(q, k, v)
+    return _flash_forward(q, k, v)[0]
 
 
 def _fwd(q, k, v):
-    return _flash_forward(q, k, v), (q, k, v)
+    out, lse = _flash_forward(q, k, v)
+    return out, (q, k, v, out, lse)
 
 
 def _bwd(res, g):
-    # exact recompute through the XLA path (same math as the kernel)
-    q, k, v = res
-    _, vjp = jax.vjp(lambda a, b, c: mha_reference(a, b, c), q, k, v)
-    return vjp(g)
+    q, k, v, out, lse = res
+    return _flash_backward(q, k, v, out, lse, g)
 
 
 flash_attention.defvjp(_fwd, _bwd)
@@ -141,4 +369,4 @@ flash_attention.defvjp(_fwd, _bwd)
 
 def flash_attention_interpret(q, k, v):
     """Interpreter-mode entry for CPU tests of the kernel logic."""
-    return _flash_forward(q, k, v, interpret=True)
+    return _flash_forward(q, k, v, interpret=True)[0]

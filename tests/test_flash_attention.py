@@ -42,31 +42,54 @@ def test_flash_bf16_io():
     )
 
 
-def test_flash_gradient_matches_reference():
-    """custom_vjp backward (XLA recompute) == reference gradient."""
-    from multimodal_diffusion_tpu.ops import flash_attention as fa
+@pytest.mark.parametrize("shape", [
+    (1, 2, 128, 64),   # exact tile
+    (2, 1, 133, 32),   # padded tail: masked keys + zero-dO padded queries
+    (1, 1, 384, 32),   # multiple K and Q blocks
+])
+def test_flash_pallas_backward_matches_reference(shape):
+    """The blockwise Pallas backward (dq/dk/dv from recomputed probabilities
+    + saved logsumexp) == autodiff through the XLA reference path."""
+    from multimodal_diffusion_tpu.ops.flash_attention import flash_attention
 
-    shape = (1, 1, 64, 16)
+    B, H, N, Dh = shape
     ks = jax.random.split(jax.random.PRNGKey(2), 3)
-    q, k, v = (jax.random.normal(ki, shape, jnp.float32) for ki in ks)
+    q = jax.random.normal(ks[0], shape, jnp.float32)
+    k = jax.random.normal(ks[1], shape, jnp.float32)
+    v = jax.random.normal(ks[2], shape, jnp.float32)
 
-    # patch the forward to interpret mode so the vjp runs on CPU
     def loss_flash(q, k, v):
-        out = fa._flash_forward(q, k, v, interpret=True)
-        return jnp.sum(out**2)
+        return jnp.sum(flash_attention(q, k, v) ** 2)
 
     def loss_ref(q, k, v):
         return jnp.sum(mha_reference(q, k, v) ** 2)
 
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
     g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
-    # the public custom_vjp bwd is the reference vjp; check it against
-    # autodiff of the reference directly
-    _, vjp = jax.vjp(lambda a, b, c: mha_reference(a, b, c), q, k, v)
-    out = mha_reference(q, k, v)
-    g_custom = vjp(2 * out)
-    for a, b in zip(g_ref, g_custom):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
-                                   atol=1e-6)
-    # and the interpreted kernel forward agrees inside a grad-producing fn
-    np.testing.assert_allclose(float(loss_flash(q, k, v)),
-                               float(loss_ref(q, k, v)), rtol=1e-5)
+    for name, a, b in zip("qkv", g_flash, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4,
+            err_msg=f"d{name}",
+        )
+
+
+def test_flash_backward_is_memory_linear():
+    """At N=8192 the grad computation must never materialize an N x N
+    tensor (round-1's backward recomputed through the O(N^2) XLA path)."""
+    from multimodal_diffusion_tpu.ops.flash_attention import flash_attention
+
+    shape = (1, 1, 8192, 64)
+
+    def loss(q, k, v):
+        return jnp.sum(flash_attention(q, k, v))
+
+    args = [jax.ShapeDtypeStruct(shape, jnp.float32)] * 3
+    hlo = jax.jit(jax.grad(loss, argnums=(0, 1, 2))).lower(*args).as_text()
+    assert "8192x8192" not in hlo and "8192,8192" not in hlo
+
+    # the reference path DOES contain it — proves the probe detects N^2
+    def loss_ref(q, k, v):
+        return jnp.sum(mha_reference(q, k, v))
+
+    hlo_ref = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2))).lower(*args).as_text()
+    assert "8192x8192" in hlo_ref or "8192,8192" in hlo_ref
