@@ -13,9 +13,46 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Any, Callable, Dict, Iterator, List
+from typing import Any, Callable, Dict, Iterable, Iterator, List
 
 import numpy as np
+
+_END = object()
+
+
+def device_prefetch(
+    items: Iterable,
+    put_fn: Callable[[Any], Any],
+    depth: int = 2,
+) -> Iterator:
+    """Double-buffered device_put ring.
+
+    A background thread runs `put_fn` (host prep + jax.device_put) up to
+    `depth` items ahead of the consumer; jax dispatch is thread-safe and
+    device_put is asynchronous, so host->HBM transfers overlap the step
+    currently executing on the device instead of serializing after it
+    (ROADMAP r1 #6 / VERDICT r1 #8)."""
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, int(depth)))
+    err: List[BaseException] = []
+
+    def producer():
+        try:
+            for it in items:
+                q.put(put_fn(it))
+        except BaseException as e:  # surfaced to the consumer
+            err.append(e)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            if err:
+                raise err[0]
+            return
+        yield item
 
 
 class DataLoader:

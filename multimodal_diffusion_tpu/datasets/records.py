@@ -1,0 +1,206 @@
+"""Pre-decoded sharded clip records — the production input path.
+
+JPEG decode capped real AV training at ~2-6 clips/s/core on the dev host vs
+a ~70 clips/s jitted step (round-1 measurement, PERFORMANCE.md); the fix is
+to decode ONCE offline into fixed-shape binary shards that training reads
+with `np.memmap` (zero-copy, page-cache friendly, no codec work in the hot
+loop).  `tools/build_records.py` converts a clips.json manifest tree into
+shards using the native C++ decoder.
+
+Shard layout (`.avrec`):
+
+    [0:8)      magic b"AVREC\\x01\\0\\0"
+    [8:4096)   JSON header, zero-padded: {"n", "video_shape", "video_dtype",
+               "audio_shape", "audio_dtype", "fps", "sr"}
+    [4096:...) flags:  n bytes   (bit0 = has_video, bit1 = has_audio)
+    [...]      records: n x (video_bytes + audio_bytes), fixed sizes
+
+Records have STATIC shapes by construction — exactly what the jitted train
+step needs; collate is a stack.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+MAGIC = b"AVREC\x01\x00\x00"
+HEADER_BYTES = 4096
+
+
+class RecordShardWriter:
+    """Streaming writer for one `.avrec` shard."""
+
+    def __init__(self, path, video_shape: Sequence[int],
+                 audio_shape: Sequence[int], video_dtype="uint8",
+                 audio_dtype="float32", fps: int = 16, sr: int = 16000):
+        self.path = Path(path)
+        self.video_shape = tuple(int(x) for x in video_shape)
+        self.audio_shape = tuple(int(x) for x in audio_shape)
+        self.video_dtype = np.dtype(video_dtype)
+        self.audio_dtype = np.dtype(audio_dtype)
+        self.fps, self.sr = int(fps), int(sr)
+        self._flags: List[int] = []
+        self._payload = self.path.with_suffix(".avrec.tmp")
+        self._f = open(self._payload, "wb")
+
+    def add(self, video: Optional[np.ndarray], audio: Optional[np.ndarray]):
+        flag = 0
+        if video is not None:
+            v = np.ascontiguousarray(video, dtype=self.video_dtype)
+            assert v.shape == self.video_shape, (v.shape, self.video_shape)
+            flag |= 1
+        else:
+            v = np.zeros(self.video_shape, self.video_dtype)
+        if audio is not None:
+            a = np.ascontiguousarray(audio, dtype=self.audio_dtype)
+            assert a.shape == self.audio_shape, (a.shape, self.audio_shape)
+            flag |= 2
+        else:
+            a = np.zeros(self.audio_shape, self.audio_dtype)
+        self._f.write(v.tobytes())
+        self._f.write(a.tobytes())
+        self._flags.append(flag)
+
+    def close(self):
+        self._f.close()
+        n = len(self._flags)
+        header = {
+            "n": n,
+            "video_shape": list(self.video_shape),
+            "video_dtype": self.video_dtype.name,
+            "audio_shape": list(self.audio_shape),
+            "audio_dtype": self.audio_dtype.name,
+            "fps": self.fps,
+            "sr": self.sr,
+        }
+        hb = json.dumps(header).encode()
+        assert len(hb) < HEADER_BYTES - len(MAGIC), "header too large"
+        with open(self.path, "wb") as out:
+            out.write(MAGIC)
+            out.write(hb)
+            out.write(b"\x00" * (HEADER_BYTES - len(MAGIC) - len(hb)))
+            out.write(bytes(self._flags))
+            with open(self._payload, "rb") as src:
+                while True:
+                    chunk = src.read(1 << 22)
+                    if not chunk:
+                        break
+                    out.write(chunk)
+        self._payload.unlink()
+        return n
+
+
+def write_record_shards(
+    items: Iterable[Dict[str, np.ndarray]],
+    out_dir,
+    video_shape: Sequence[int],
+    audio_shape: Sequence[int],
+    clips_per_shard: int = 256,
+    **meta,
+) -> List[Path]:
+    """items yield {"video": arr|None, "audio": arr|None}; returns shard
+    paths `shard_00000.avrec`, ..."""
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    paths: List[Path] = []
+    writer = None
+    count = 0
+    for it in items:
+        if writer is None:
+            p = out_dir / f"shard_{len(paths):05d}.avrec"
+            writer = RecordShardWriter(p, video_shape, audio_shape, **meta)
+            paths.append(p)
+        writer.add(it.get("video"), it.get("audio"))
+        count += 1
+        if count >= clips_per_shard:
+            writer.close()
+            writer, count = None, 0
+    if writer is not None:
+        writer.close()
+    return paths
+
+
+class _Shard:
+    def __init__(self, path: Path):
+        self.path = path
+        with open(path, "rb") as f:
+            head = f.read(HEADER_BYTES)
+        if head[: len(MAGIC)] != MAGIC:
+            raise ValueError(f"{path}: not an AVREC shard")
+        self.meta = json.loads(
+            head[len(MAGIC):].split(b"\x00", 1)[0].decode()
+        )
+        self.n = int(self.meta["n"])
+        self.video_shape = tuple(self.meta["video_shape"])
+        self.audio_shape = tuple(self.meta["audio_shape"])
+        self.video_dtype = np.dtype(self.meta["video_dtype"])
+        self.audio_dtype = np.dtype(self.meta["audio_dtype"])
+        self.v_bytes = int(np.prod(self.video_shape)) * self.video_dtype.itemsize
+        self.a_bytes = int(np.prod(self.audio_shape)) * self.audio_dtype.itemsize
+        self.rec_bytes = self.v_bytes + self.a_bytes
+        self._mm = np.memmap(path, dtype=np.uint8, mode="r")
+        self.flags = np.asarray(self._mm[HEADER_BYTES : HEADER_BYTES + self.n])
+        self.data_off = HEADER_BYTES + self.n
+
+    def record(self, i: int) -> Tuple[np.ndarray, np.ndarray, int]:
+        off = self.data_off + i * self.rec_bytes
+        vbuf = self._mm[off : off + self.v_bytes]
+        abuf = self._mm[off + self.v_bytes : off + self.rec_bytes]
+        video = np.frombuffer(vbuf, self.video_dtype).reshape(self.video_shape)
+        audio = np.frombuffer(abuf, self.audio_dtype).reshape(self.audio_shape)
+        return video, audio, int(self.flags[i])
+
+
+class RecordDataset:
+    """mmap-backed dataset over a directory (or glob) of `.avrec` shards.
+
+    Yields the same item dict as AVManifestDataset so collate_batch works
+    unchanged; `device_preprocess` keeps frames uint8 [T, H, W, 3] for the
+    on-device normalize path, else converts to float32 [3, T, H, W]."""
+
+    def __init__(self, records, device_preprocess: bool = True):
+        records = Path(records)
+        if records.is_dir():
+            shard_paths = sorted(records.glob("*.avrec"))
+        else:
+            import glob as _glob
+
+            shard_paths = [Path(p) for p in sorted(_glob.glob(str(records)))]
+        if not shard_paths:
+            raise FileNotFoundError(f"no .avrec shards under {records}")
+        self.shards = [_Shard(p) for p in shard_paths]
+        m0 = self.shards[0].meta
+        for s in self.shards[1:]:
+            if (s.video_shape != self.shards[0].video_shape
+                    or s.audio_shape != self.shards[0].audio_shape):
+                raise ValueError("inconsistent record shapes across shards")
+        self.device_preprocess = bool(device_preprocess)
+        self.fps = int(m0.get("fps", 16))
+        self.sr = int(m0.get("sr", 16000))
+        self._offsets = np.cumsum([0] + [s.n for s in self.shards])
+        # [T, H, W, 3] stored layout
+        self.T = self.shards[0].video_shape[0]
+        self.L = int(np.prod(self.shards[0].audio_shape))
+
+    def __len__(self) -> int:
+        return int(self._offsets[-1])
+
+    def __getitem__(self, idx: int) -> Dict:
+        si = int(np.searchsorted(self._offsets, idx, side="right") - 1)
+        video, audio, flag = self.shards[si].record(idx - self._offsets[si])
+        if self.device_preprocess:
+            v = video  # uint8 [T, H, W, 3], zero-copy view
+        else:
+            v = np.transpose(
+                video.astype(np.float32) / 255.0, (3, 0, 1, 2)
+            )  # [3, T, H, W]
+        return {
+            "video": v if (flag & 1) else None,
+            "audio": audio.reshape(1, -1) if (flag & 2) else None,
+            "fps": self.fps,
+            "sr": self.sr,
+        }

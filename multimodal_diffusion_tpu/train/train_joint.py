@@ -55,17 +55,28 @@ def main(argv=None):
     is_lead = jax.process_index() == 0
 
     # ---- data ----
-    manifest = cfg["data"]["train_split_glob"]
-    dataset = AVClipsDataset(
-        manifest_path=manifest,
-        clip_seconds=float(cfg["data"]["clip_seconds"]),
-        fps=int(cfg["video"]["fps"]),
-        sr=int(cfg["audio"]["sr"]),
-        size_hw=tuple(cfg["video"]["size"]),
-        video_root=cfg.get("paths", {}).get("video_root"),
-        audio_root=cfg.get("paths", {}).get("audio_root"),
-        device_preprocess=bool(cfg["data"].get("device_preprocess", False)),
-    )
+    # pre-decoded record shards (tools/build_records.py) are the production
+    # path: mmap reads, no JPEG decode in the hot loop
+    records = cfg["data"].get("records_dir")
+    if records:
+        from ..datasets.records import RecordDataset
+
+        dataset = RecordDataset(
+            records,
+            device_preprocess=bool(cfg["data"].get("device_preprocess", True)),
+        )
+    else:
+        manifest = cfg["data"]["train_split_glob"]
+        dataset = AVClipsDataset(
+            manifest_path=manifest,
+            clip_seconds=float(cfg["data"]["clip_seconds"]),
+            fps=int(cfg["video"]["fps"]),
+            sr=int(cfg["audio"]["sr"]),
+            size_hw=tuple(cfg["video"]["size"]),
+            video_root=cfg.get("paths", {}).get("video_root"),
+            audio_root=cfg.get("paths", {}).get("audio_root"),
+            device_preprocess=bool(cfg["data"].get("device_preprocess", False)),
+        )
     T_target = dataset.T
     L_target = dataset.L
 

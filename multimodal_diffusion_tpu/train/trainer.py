@@ -539,10 +539,11 @@ def run_training(
                                 core.mlp_ratio))
     except Exception:
         _denoiser_flops_per_step = None
-    for batch in batches:
-        step_i = int(state.step)
-        if step_i >= max_steps:
-            break
+    B_, _, T_, H_, W_ = bundle.latent_shapes["video"]
+    device_pre = bool(cfg.get("data", {}).get("device_preprocess", False))
+
+    def prep_and_put(batch):
+        """Host-side prep + async device_put (runs on the prefetch thread)."""
         # target priority: collate's pick (it knows modality availability,
         # reference CollateFn semantics trainer.py:70-77) else our schedule
         target = batch.get("target")
@@ -551,10 +552,9 @@ def run_training(
         if target not in ("video", "audio"):
             target = schedule.sample_target()
         tiv = jnp.asarray(1.0 if target == "video" else 0.0, jnp.float32)
-        B_, _, T_, H_, W_ = bundle.latent_shapes["video"]
         vid_fill = (
             np.zeros((B_, T_, H_, W_, 3), np.uint8)
-            if bool(cfg.get("data", {}).get("device_preprocess", False))
+            if device_pre
             else np.zeros(bundle.latent_shapes["video"], np.float32)
         )
         host_batch = {
@@ -567,9 +567,23 @@ def run_training(
             "has_video": batch["has_video"],
             "has_audio": batch["has_audio"],
         }
-        dev_batch = shard_batch(mesh, host_batch)
+        return shard_batch(mesh, host_batch), tiv
+
+    # step counting is host-side: reading state.step each iteration would
+    # force a device sync per step on the donated state
+    from itertools import islice
+
+    from ..datasets.loader import device_prefetch
+
+    start_step = int(state.step)
+    n_todo = max(0, max_steps - start_step)
+    prefetch_depth = int(cfg["data"].get("prefetch_factor", 2) or 2)
+    stream = device_prefetch(islice(batches, n_todo), prep_and_put,
+                             depth=prefetch_depth)
+    for step_i, (dev_batch, tiv) in enumerate(stream, start=start_step):
         state, metrics = bundle.train_step(state, dev_batch, tiv)
-        pending.append(metrics)
+        if log_fn is not None:
+            pending.append(metrics)  # device arrays; host-synced per interval
 
         new_step = step_i + 1
         if log_fn is not None and new_step % log_every == 0:

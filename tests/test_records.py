@@ -1,0 +1,137 @@
+"""Pre-decoded record shards + device_put prefetch ring (VERDICT r1 #8)."""
+
+import time
+
+import numpy as np
+import pytest
+
+from multimodal_diffusion_tpu.datasets.records import (
+    RecordDataset, write_record_shards,
+)
+from multimodal_diffusion_tpu.datasets.loader import device_prefetch
+
+
+def _synth_items(n, T=8, H=16, W=16, L=4000, missing_audio_at=None):
+    rng = np.random.default_rng(0)
+    for i in range(n):
+        yield {
+            "video": rng.integers(0, 255, (T, H, W, 3), dtype=np.uint8),
+            "audio": (None if i == missing_audio_at
+                      else rng.uniform(-1, 1, (L,)).astype(np.float32)),
+        }
+
+
+def test_record_roundtrip(tmp_path):
+    items = list(_synth_items(10, missing_audio_at=3))
+    paths = write_record_shards(
+        (dict(it) for it in items), tmp_path, video_shape=(8, 16, 16, 3),
+        audio_shape=(4000,), clips_per_shard=4, fps=8, sr=8000,
+    )
+    assert len(paths) == 3  # 4 + 4 + 2
+
+    ds = RecordDataset(tmp_path, device_preprocess=True)
+    assert len(ds) == 10 and ds.T == 8 and ds.L == 4000
+    for i, it in enumerate(items):
+        got = ds[i]
+        np.testing.assert_array_equal(got["video"], it["video"])
+        if i == 3:
+            assert got["audio"] is None
+        else:
+            np.testing.assert_array_equal(got["audio"][0], it["audio"])
+
+    # float32 [3,T,H,W] mode matches the manifest dataset contract
+    ds_f = RecordDataset(tmp_path, device_preprocess=False)
+    v = ds_f[0]["video"]
+    assert v.shape == (3, 8, 16, 16) and v.dtype == np.float32
+    np.testing.assert_allclose(
+        v, np.transpose(items[0]["video"].astype(np.float32) / 255.0,
+                        (3, 0, 1, 2)))
+
+
+def test_records_feed_collate_and_loader(tmp_path):
+    from multimodal_diffusion_tpu.datasets.collate import collate_batch
+    from multimodal_diffusion_tpu.datasets.loader import DataLoader
+
+    write_record_shards(_synth_items(6), tmp_path,
+                        video_shape=(8, 16, 16, 3), audio_shape=(4000,),
+                        clips_per_shard=3)
+    ds = RecordDataset(tmp_path)
+    loader = DataLoader(ds, batch_size=2,
+                        collate_fn=lambda it: collate_batch(it, ds.T, ds.L),
+                        shuffle=True, num_workers=2)
+    b = next(iter(loader))
+    assert b["video"].shape == (2, 8, 16, 16, 3)  # uint8 device-preprocess
+    assert b["video"].dtype == np.uint8
+    assert b["audio"].shape == (2, 1, 4000)
+    assert b["has_video"].all() and b["has_audio"].all()
+
+
+def test_record_read_is_zero_copy_and_fast(tmp_path):
+    """mmap reads must be far cheaper than decode: >= 500 items/s even on
+    the 1-core CI box (JPEG decode measured 2-6 clips/s, PERFORMANCE.md)."""
+    write_record_shards(_synth_items(64), tmp_path,
+                        video_shape=(8, 16, 16, 3), audio_shape=(4000,))
+    ds = RecordDataset(tmp_path)
+    # zero-copy: the video array is a view over the shard mmap
+    v = ds[0]["video"]
+    assert v.base is not None
+    ds[0]  # touch pages
+    t0 = time.perf_counter()
+    n = 0
+    while time.perf_counter() - t0 < 0.5:
+        ds[n % len(ds)]
+        n += 1
+    rate = n / (time.perf_counter() - t0)
+    assert rate > 500, f"record read rate {rate:.0f}/s"
+
+
+def test_device_prefetch_order_and_errors():
+    out = list(device_prefetch(range(10), lambda x: x * 2, depth=3))
+    assert out == [x * 2 for x in range(10)]
+
+    def boom(x):
+        if x == 3:
+            raise RuntimeError("decode failed")
+        return x
+
+    with pytest.raises(RuntimeError, match="decode failed"):
+        list(device_prefetch(range(10), boom, depth=2))
+
+
+def test_train_joint_cli_with_records(tmp_path):
+    """train_joint consumes data.records_dir end-to-end (2 steps)."""
+    import yaml
+    from tests._tiny import tiny_cfg
+    from multimodal_diffusion_tpu.train.train_joint import main
+    from multimodal_diffusion_tpu.train.checkpoint import CheckpointManager
+
+    rec_dir = tmp_path / "records"
+    rng = np.random.default_rng(1)
+
+    def items():
+        for _ in range(8):
+            yield {
+                "video": rng.integers(0, 255, (8, 32, 32, 3), dtype=np.uint8),
+                "audio": rng.uniform(-1, 1, (8000,)).astype(np.float32),
+            }
+
+    write_record_shards(items(), rec_dir, video_shape=(8, 32, 32, 3),
+                        audio_shape=(8000,), fps=8, sr=8000)
+
+    cfg = tiny_cfg()
+    cfg["paths"] = {
+        "out_root": str(tmp_path / "run"),
+        "ckpt_dir": str(tmp_path / "run/ckpt"),
+        "log_dir": str(tmp_path / "run/logs"),
+        "samples_dir": str(tmp_path / "run/samples"),
+    }
+    cfg["data"].update({"records_dir": str(rec_dir), "num_workers": 2,
+                        "device_preprocess": True})
+    cfg["training"].update({"max_steps": 2, "log_every": 1, "ckpt_every": 50})
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    main(["--config", str(cfg_path), "--max-steps", "2"])
+    mgr = CheckpointManager(tmp_path / "run/ckpt")
+    assert mgr.latest_step() == 2
+    mgr.close()
