@@ -41,9 +41,18 @@ class CheckpointManager:
 
     def save(self, step: int, tree: Dict[str, Any], meta: Optional[Dict] = None,
              wait: bool = False) -> None:
-        self._mgr.save(int(step), args=ocp.args.StandardSave(tree))
+        """Async by default (orbax background thread); `wait=True` flushes.
+
+        Idempotent per step: a step that already exists (e.g. the periodic
+        save raced the preemption/final save) is skipped, not an error."""
+        step = int(step)
+        if step in (self._mgr.all_steps() or []):
+            if wait:
+                self._mgr.wait_until_finished()
+            return
+        self._mgr.save(step, args=ocp.args.StandardSave(tree))
         if meta is not None:
-            save_json(self.dir / f"meta_{int(step)}.json", meta)
+            save_json(self.dir / f"meta_{step}.json", meta)
         if wait:
             self._mgr.wait_until_finished()
 

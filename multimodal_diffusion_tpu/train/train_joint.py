@@ -155,11 +155,34 @@ def main(argv=None):
             print(f"step {step}: " + " ".join(
                 f"{k}={v:.4f}" for k, v in metrics.items()))
 
-    state = run_training(
-        cfg, bundle, iter(loader),
-        max_steps=args.max_steps,
-        log_fn=log_fn, checkpoint_fn=ckpt_fn, val_fn=val_fn,
-    )
+    # Preemption resilience: SIGTERM/SIGINT request a clean stop; the loop
+    # exits after the in-flight step and the final checkpoint below flushes
+    # synchronously before the process dies.
+    import signal
+
+    stop_requested = {"v": False}
+
+    def _request_stop(signum, frame):
+        stop_requested["v"] = True
+        print(f"[preempt] signal {signum} received; will checkpoint and exit")
+
+    prev_handlers = {}
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            prev_handlers[sig] = signal.signal(sig, _request_stop)
+        except ValueError:  # not the main thread (e.g. under a test runner)
+            pass
+
+    try:
+        state = run_training(
+            cfg, bundle, iter(loader),
+            max_steps=args.max_steps,
+            log_fn=log_fn, checkpoint_fn=ckpt_fn, val_fn=val_fn,
+            should_stop=lambda: stop_requested["v"],
+        )
+    finally:
+        for sig, h in prev_handlers.items():
+            signal.signal(sig, h)
 
     if ckpt is not None:
         ckpt.save(int(state.step), state_to_tree(state),

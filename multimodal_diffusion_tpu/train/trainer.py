@@ -495,12 +495,16 @@ def run_training(
     log_fn=None,
     checkpoint_fn=None,
     val_fn=None,
+    should_stop=None,
 ) -> TrainState:
     """Drive the jitted step over a host batch iterator.
 
     log_fn(step, metrics_dict) every `log_every`; checkpoint_fn(step, state)
     every `ckpt_every` (reference cadence, trainer.py:390-398);
-    val_fn(step, state) every `val_every`.
+    val_fn(step, state) every `val_every`.  `should_stop()` is polled every
+    step — preemption (SIGTERM) sets it so the loop exits cleanly and the
+    caller's final checkpoint flushes (the reference had no recovery story
+    beyond checkpoint-latest, SURVEY §5).
     """
     t_cfg = cfg["training"]
     max_steps = max_steps if max_steps is not None else int(t_cfg["max_steps"])
@@ -605,5 +609,8 @@ def run_training(
             checkpoint_fn(new_step, state)
         if val_fn is not None and val_every and new_step % val_every == 0:
             val_fn(new_step, state)
+        if should_stop is not None and should_stop():
+            print(f"[preempt] stop requested; exiting at step {new_step}")
+            break
     bundle.state = state
     return state

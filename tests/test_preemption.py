@@ -1,0 +1,111 @@
+"""Preemption resilience: kill a training run with SIGTERM mid-stream, then
+resume from its flushed checkpoint (VERDICT r1 #9).  Runs train_joint as a
+real subprocess so the signal path is the production one."""
+
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+import pytest
+import yaml
+
+from tests._tiny import tiny_cfg
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _write_workspace(tmp_path):
+    from multimodal_diffusion_tpu.datasets.records import write_record_shards
+
+    rec_dir = tmp_path / "records"
+    rng = np.random.default_rng(0)
+
+    def items():
+        for _ in range(8):
+            yield {
+                "video": rng.integers(0, 255, (8, 32, 32, 3), dtype=np.uint8),
+                "audio": rng.uniform(-1, 1, (8000,)).astype(np.float32),
+            }
+
+    write_record_shards(items(), rec_dir, video_shape=(8, 32, 32, 3),
+                        audio_shape=(8000,), fps=8, sr=8000)
+
+    cfg = tiny_cfg()
+    cfg["paths"] = {
+        "out_root": str(tmp_path / "run"),
+        "ckpt_dir": str(tmp_path / "run/ckpt"),
+        "log_dir": str(tmp_path / "run/logs"),
+        "samples_dir": str(tmp_path / "run/samples"),
+    }
+    cfg["data"].update({"records_dir": str(rec_dir), "num_workers": 1,
+                        "device_preprocess": True})
+    cfg["training"].update({"max_steps": 10_000, "log_every": 1,
+                            "ckpt_every": 100_000})
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    return cfg_path
+
+
+def _env():
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    return env
+
+
+@pytest.mark.slow
+def test_sigterm_checkpoints_and_resume(tmp_path):
+    from multimodal_diffusion_tpu.train.checkpoint import CheckpointManager
+
+    cfg_path = _write_workspace(tmp_path)
+    metrics = tmp_path / "run/logs/metrics.jsonl"
+    cmd = [sys.executable, "-m",
+           "multimodal_diffusion_tpu.train.train_joint",
+           "--config", str(cfg_path), "--device", "cpu"]
+
+    proc = subprocess.Popen(cmd, env=_env(), cwd=REPO,
+                            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                            text=True)
+    # wait until at least 2 steps have logged (compile done, loop running)
+    deadline = time.time() + 420
+    while time.time() < deadline:
+        if metrics.exists() and len(metrics.read_text().splitlines()) >= 2:
+            break
+        if proc.poll() is not None:
+            raise AssertionError(
+                f"train exited early rc={proc.returncode}:\n"
+                f"{proc.stdout.read()[-3000:]}")
+        time.sleep(1.0)
+    else:
+        proc.kill()
+        raise AssertionError("training never reached step 2 in time")
+
+    proc.send_signal(signal.SIGTERM)
+    out, _ = proc.communicate(timeout=300)
+    assert proc.returncode == 0, out[-3000:]
+    assert "[preempt]" in out
+
+    mgr = CheckpointManager(tmp_path / "run/ckpt")
+    saved = mgr.latest_step()
+    mgr.close()
+    assert saved is not None and saved >= 2, f"no flushed checkpoint: {saved}"
+
+    # resume two more steps from the flushed checkpoint
+    out2 = subprocess.run(
+        cmd + ["--resume", "--max-steps", str(saved + 2)],
+        env=_env(), cwd=REPO, capture_output=True, text=True, timeout=420,
+    )
+    assert out2.returncode == 0, out2.stdout[-2000:] + out2.stderr[-2000:]
+    assert f"[resume] restored step {saved}" in out2.stdout
+    mgr = CheckpointManager(tmp_path / "run/ckpt")
+    assert mgr.latest_step() == saved + 2
+    mgr.close()
+    # loss stream is continuous across the kill (steps saved+1, saved+2 logged)
+    steps = [json.loads(l)["step"] for l in metrics.read_text().splitlines()
+             if l.strip()]
+    assert saved + 2 in steps
