@@ -32,6 +32,10 @@ from multimodal_diffusion_tpu.media.audio_io import (  # noqa: E402
 )
 
 AUDIO_EXTS = {".wav", ".flac", ".mp3", ".ogg", ".m4a"}
+# MPEG program streams (GRID corpus raw clips): audio demuxed + MP2-decoded
+# via media/mpeg_audio (reference preprocess_audio.py:144-157 extracts the
+# same track through librosa/ffmpeg)
+MPEG_EXTS = {".mpg", ".mpeg", ".m2v"}
 
 
 def iter_audio(root: Path):
@@ -39,14 +43,23 @@ def iter_audio(root: Path):
         yield root
     else:
         yield from sorted(
-            p for p in root.rglob("*") if p.suffix.lower() in AUDIO_EXTS
+            p for p in root.rglob("*")
+            if p.suffix.lower() in (AUDIO_EXTS | MPEG_EXTS)
         )
+
+
+def _read_any(src: Path, sr: int):
+    if src.suffix.lower() in MPEG_EXTS:
+        from multimodal_diffusion_tpu.media.mpeg_audio import read_mpeg_audio
+
+        return read_mpeg_audio(src, sr=sr, mono=True)
+    return read_wav(src, sr=sr, mono=True)
 
 
 def mode_wav(args) -> None:
     n = 0
     for src in iter_audio(args.input):
-        y, _ = read_wav(src, sr=args.sr, mono=True)
+        y, _ = _read_any(src, args.sr)
         if args.rms_norm:
             y = rms_normalize(y)
         rel = src.relative_to(args.input) if not args.input.is_file() else src.name
@@ -63,7 +76,7 @@ def mode_mel(args) -> None:
     entries = []
     n = 0
     for src in iter_audio(args.input):
-        y, _ = read_wav(src, sr=args.sr, mono=True)
+        y, _ = _read_any(src, args.sr)
         if align is not None:
             # window audio to each aligned video clip
             for ci, clip in enumerate(align):
