@@ -51,9 +51,14 @@ def select_device(name: Optional[str]) -> None:
         jax.config.update("jax_platforms", "cpu")
 
 
-def build_components(cfg: Dict, use_ema: bool = False):
+def build_components(cfg: Dict, use_ema: bool = False,
+                     bf16_params: bool = False):
     """Instantiate the model and load params (checkpoint if configured, else
     random init like the reference, sample_clip.py:112-132).
+
+    bf16_params casts float32 weights to bf16 once after restore —
+    inference-only: halves HBM weight traffic and removes per-use casts
+    inside the scan sampler (ignored off-TPU where compute is fp32).
 
     Returns (model, params)."""
     dtype = compute_dtype_from_config(cfg)
@@ -101,6 +106,10 @@ def build_components(cfg: Dict, use_ema: bool = False):
             jnp.ones((int(cfg["diffusion"]["audio"]["steps"]),), jnp.float32),
         )
         params = meta.unbox(variables["params"])
+    if bf16_params and compute_dtype_from_config(cfg) == jnp.bfloat16:
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if getattr(x, "dtype", None) == jnp.float32 else x, params)
     return model, params
 
 
@@ -230,11 +239,15 @@ def main(argv=None):
                     help="Backend override (cpu to force the CPU backend)")
     ap.add_argument("--ema", action="store_true",
                     help="Sample with the EMA core weights")
+    ap.add_argument("--bf16-params", action="store_true",
+                    help="Cast weights to bf16 once for faster inference "
+                         "(bf16 compute configs only)")
     args = ap.parse_args(argv)
 
     select_device(args.device)
     cfg = load_config(*args.config)
-    model, params = build_components(cfg, use_ema=args.ema)
+    model, params = build_components(cfg, use_ema=args.ema,
+                                     bf16_params=args.bf16_params)
 
     prompt_modality = cfg.get("sampling", {}).get("prompt_modality", "video")
     if prompt_modality not in {"video", "audio"}:
