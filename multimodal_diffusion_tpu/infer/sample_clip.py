@@ -46,9 +46,13 @@ from .ddim import sampler_from_config
 
 
 def select_device(name: Optional[str]) -> None:
-    """Honor --device cpu (e.g. for tests); default backend otherwise."""
+    """Honor --device cpu (e.g. for tests); default backend otherwise.
+    Also enables the persistent XLA compilation cache for all infer CLIs."""
     if name and name.lower() in {"cpu"}:
         jax.config.update("jax_platforms", "cpu")
+    from ..utils.compile_cache import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
 
 
 def build_components(cfg: Dict, use_ema: bool = False,

@@ -49,6 +49,9 @@ def main(argv=None):
     if args.device and args.device.lower() == "cpu":
         jax.config.update("jax_platforms", "cpu")
 
+    from ..utils.compile_cache import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     maybe_init_distributed()
     cfg = load_config(*args.config)
 
