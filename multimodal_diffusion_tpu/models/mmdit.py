@@ -30,7 +30,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.attention import multi_head_attention, padding_bias
+from ..ops.attention import multi_head_attention
 
 Dtype = Any
 
@@ -118,7 +118,7 @@ class Attention(nn.Module):
     def __call__(
         self,
         x: jnp.ndarray,
-        bias: Optional[jnp.ndarray] = None,
+        key_padding_mask: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
     ) -> jnp.ndarray:
         B, N, d = x.shape
@@ -151,7 +151,7 @@ class Attention(nn.Module):
             and N % self.mesh.shape[self.context_axis] == 0
         )
         if use_cp:
-            if bias is not None:
+            if key_padding_mask is not None:
                 raise NotImplementedError(
                     "context-parallel attention does not support attention "
                     "bias/key-padding masks yet"
@@ -161,7 +161,8 @@ class Attention(nn.Module):
             out = ring_attention_sharded(q, k, v, self.mesh,
                                          axis=self.context_axis)
         else:
-            out = multi_head_attention(q, k, v, bias)
+            out = multi_head_attention(q, k, v,
+                                       key_padding_mask=key_padding_mask)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, d)
         out = nn.Dense(
             d,
@@ -247,7 +248,7 @@ class Block(nn.Module):
     def __call__(
         self,
         x: jnp.ndarray,
-        bias: Optional[jnp.ndarray] = None,
+        key_padding_mask: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
     ) -> jnp.ndarray:
         x = self._constrain(x)
@@ -260,7 +261,7 @@ class Block(nn.Module):
             mesh=self.mesh,
             context_axis=self.context_axis,
             name="attn",
-        )(make_norm(self.norm, self.dtype)(x), bias, deterministic)
+        )(make_norm(self.norm, self.dtype)(x), key_padding_mask, deterministic)
         x = x + MLP(self.mlp_ratio, self.dropout, self.gelu_exact,
                     dtype=self.dtype, name="mlp")(
             make_norm(self.norm, self.dtype)(x), deterministic
@@ -326,10 +327,6 @@ class MMDiT(nn.Module):
             ).astype(x.dtype)
             x = x * keep[..., None]
 
-        bias = None
-        if key_padding_mask is not None:
-            bias = padding_bias(key_padding_mask, cfg.n_heads)
-
         block_cls = Block
         if cfg.remat:
             block_cls = nn.remat(Block, static_argnums=(3,))
@@ -346,6 +343,6 @@ class MMDiT(nn.Module):
                 mesh=cfg.mesh,
                 context_axis=cfg.context_axis,
                 name=f"block_{i}",
-            )(x, bias, deterministic)
+            )(x, key_padding_mask, deterministic)
 
         return make_norm(cfg.norm, cfg.dtype)(x)

@@ -57,20 +57,27 @@ def multi_head_attention(
     v: jnp.ndarray,
     bias: Optional[jnp.ndarray] = None,
     *,
+    key_padding_mask: Optional[jnp.ndarray] = None,
     use_flash: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Dispatch between the Pallas flash kernel and the XLA reference path.
 
-    `use_flash=None` auto-selects: TPU backend AND seq >= FLASH_MIN_SEQ AND
-    no arbitrary bias (the flash kernel supports key-padding masks only).
+    `key_padding_mask`: [B, N] bool, True = PAD — preferred over a prebuilt
+    `bias` because the flash kernel masks keys in-kernel (the XLA fallback
+    expands it to an additive bias).  `use_flash=None` auto-selects: TPU
+    backend AND seq >= FLASH_MIN_SEQ AND no *arbitrary* bias (key-padding
+    masks are supported in-kernel; any other bias forces the XLA path).
     """
     if use_flash is None:
         on_tpu = jax.default_backend() == "tpu"
         use_flash = on_tpu and q.shape[-2] >= FLASH_MIN_SEQ and bias is None
-    if use_flash:
+    if use_flash and bias is None:
         from .flash_attention import flash_attention
 
-        return flash_attention(q, k, v)
+        return flash_attention(q, k, v, key_padding_mask)
+    if key_padding_mask is not None:
+        kbias = padding_bias(key_padding_mask, q.shape[1])
+        bias = kbias if bias is None else bias + kbias
     return mha_reference(q, k, v, bias)
 
 

@@ -46,23 +46,33 @@ def _use_interpret() -> bool:
 # ---------------------------------------------------------------------------
 
 
-def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
-                      n_valid: int, block_k: int):
+def _flash_fwd_kernel(*refs, scale: float, n_valid: int, block_k: int,
+                      has_mask: bool, n_heads: int = 1):
     """One Q tile vs all K/V tiles, online softmax.
 
-    q_ref: [1, BQ, Dh]; k_ref, v_ref: [1, N_pad, Dh]; o_ref: [1, BQ, Dh];
+    q_ref: [1, BQ, Dh]; k_ref, v_ref: [1, N_pad, Dh]; valid_ref (only when
+    has_mask): [1, N_pad] fp32 1=attendable key, 0=masked (key-padding AND
+    length padding pre-combined on the host); o_ref: [1, BQ, Dh];
     lse_ref: [1, BQ, 1] (logsumexp of the scaled scores, the bwd residual;
     trailing singleton keeps the block's last-two dims TPU-tileable).
     """
     # native-dtype (bf16) MXU inputs, fp32 accumulation: fp32 operands run
     # the MXU at a fraction of peak; softmax statistics stay fp32 (same
     # structure as mha_reference, so numerics match the XLA path)
+    if has_mask:
+        q_ref, k_ref, v_ref, valid_ref, o_ref, lse_ref = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref, lse_ref = refs
+        valid_ref = None
     q = q_ref[0]  # [BQ, Dh]
     n_pad = k_ref.shape[1]
     bq = q.shape[0]
     dh = q.shape[1]
 
-    m = jnp.full((bq, 1), -jnp.inf, jnp.float32)
+    # finite sentinel (not -inf): a key-padding mask can blank an entire K
+    # block, and -inf statistics would give exp(-inf - -inf) = nan; with the
+    # where-based p below, masked columns contribute exactly 0 regardless.
+    m = jnp.full((bq, 1), -1e30, jnp.float32)
     l = jnp.zeros((bq, 1), jnp.float32)
     acc = jnp.zeros((bq, dh), jnp.float32)
 
@@ -75,12 +85,21 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
             preferred_element_type=jnp.float32,
         ) * scale  # [BQ, BK] fp32
         lo = kb * block_k
-        if lo + block_k > n_valid:
+        if has_mask:
+            vrow = valid_ref[0, 0, lo : lo + block_k]  # [BK] lanes
+            ok = jnp.broadcast_to(vrow[None, :] > 0.5, s.shape)
+        elif lo + block_k > n_valid:
             # mask padded keys (compile-time bound; iota must be >= 2D on TPU)
             col = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1) + lo
-            s = jnp.where(col < n_valid, s, -jnp.inf)
+            ok = col < n_valid
+        else:
+            ok = None
+        if ok is not None:
+            s = jnp.where(ok, s, -1e30)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)  # [BQ, BK] fp32
+        if ok is not None:
+            p = jnp.where(ok, p, 0.0)  # exact 0 even if the block is all-pad
         alpha = jnp.exp(m - m_new)
         l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
@@ -101,9 +120,25 @@ def _flat_pad(x, B, H, N, Dh, target):
     return x
 
 
+def _valid_mask(kpad: jnp.ndarray, N: int, n_pad: int) -> jnp.ndarray:
+    """[B, N] bool True=PAD -> [B, 1, n_pad] fp32 1=attendable (pad+length
+    masking combined once on the host side of the kernel; the middle
+    singleton keeps every BlockSpec trailing-dim TPU-tileable and the
+    per-batch row is selected by the INDEX MAP, not an in-kernel dynamic
+    load, which Mosaic does not support on the sublane dim)."""
+    valid = jnp.logical_not(kpad).astype(jnp.float32)
+    if n_pad > N:
+        valid = jnp.pad(valid, ((0, 0), (0, n_pad - N)))
+    return valid[:, None, :]
+
+
 def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                   kpad: jnp.ndarray | None = None,
                    interpret: bool | None = None):
-    """Returns (out [B,H,N,Dh], lse [B*H, pad_q] fp32)."""
+    """Returns (out [B,H,N,Dh], lse [B*H, pad_q] fp32).
+
+    kpad: optional [B, N] bool key-padding mask (True = PAD, torch
+    MultiheadAttention semantics) shared across heads."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -118,10 +153,29 @@ def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     kf = _flat_pad(k, B, H, N, Dh, n_pad)
     vf = _flat_pad(v, B, H, N, Dh, n_pad)
 
+    has_mask = kpad is not None
     grid = (B * H, pad_q // BLOCK_Q)
     kernel = functools.partial(
-        _flash_fwd_kernel, scale=scale, n_valid=N, block_k=BLOCK_K
+        _flash_fwd_kernel, scale=scale, n_valid=N, block_k=BLOCK_K,
+        has_mask=has_mask, n_heads=H,
     )
+    in_specs = [
+        pl.BlockSpec((1, BLOCK_Q, Dh), lambda bh, qi: (bh, qi, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n_pad, Dh), lambda bh, qi: (bh, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n_pad, Dh), lambda bh, qi: (bh, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [qf, kf, vf]
+    if has_mask:
+        # one [1, 1, n_pad] row per program; bh // H in the index map picks
+        # the batch row (block-index arithmetic is free; in-kernel dynamic
+        # sublane loads are not implemented by Mosaic)
+        in_specs.append(
+            pl.BlockSpec((1, 1, n_pad), lambda bh, qi: (bh // H, 0, 0),
+                         memory_space=pltpu.VMEM))
+        operands.append(_valid_mask(kpad, N, n_pad))
     out, lse = pl.pallas_call(
         kernel,
         out_shape=(
@@ -130,14 +184,7 @@ def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         ),
         grid_spec=pl.GridSpec(
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, BLOCK_Q, Dh), lambda bh, qi: (bh, qi, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, n_pad, Dh), lambda bh, qi: (bh, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, n_pad, Dh), lambda bh, qi: (bh, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=(
                 pl.BlockSpec((1, BLOCK_Q, Dh), lambda bh, qi: (bh, qi, 0),
                              memory_space=pltpu.VMEM),
@@ -146,7 +193,7 @@ def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             ),
         ),
         interpret=interpret,
-    )(qf, kf, vf)
+    )(*operands)
     return out[:, :N, :].reshape(B, H, N, Dh), lse
 
 
@@ -155,16 +202,24 @@ def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 
-def _flash_bwd_dkdv_kernel(q_ref, do_ref, lse_ref, dd_ref, k_ref, v_ref,
-                           dk_ref, dv_ref, *, scale: float, n_valid: int,
-                           block_q: int):
+def _flash_bwd_dkdv_kernel(*refs, scale: float, n_valid: int,
+                           block_q: int, has_mask: bool, n_heads: int = 1):
     """One K/V tile vs all Q tiles.
 
     q_ref, do_ref: [1, pad_q, Dh]; lse_ref, dd_ref: [1, pad_q, 1];
+    valid_ref (only when has_mask): [1, 1, BK] fp32 key-validity for THIS
+    K tile (batch row + tile picked by the index map);
     k_ref, v_ref, dk_ref, dv_ref: [1, BK, Dh].
     Padded-q rows have dO == 0, so their dK/dV contributions vanish.
     """
     from jax.experimental import pallas as pl
+
+    if has_mask:
+        (q_ref, do_ref, lse_ref, dd_ref, k_ref, v_ref, valid_ref,
+         dk_ref, dv_ref) = refs
+    else:
+        q_ref, do_ref, lse_ref, dd_ref, k_ref, v_ref, dk_ref, dv_ref = refs
+        valid_ref = None
 
     kb = k_ref[0]  # [BK, Dh] native dtype (bf16 MXU inputs, fp32 accum)
     vb = v_ref[0]
@@ -187,8 +242,15 @@ def _flash_bwd_dkdv_kernel(q_ref, do_ref, lse_ref, dd_ref, k_ref, v_ref,
             qn, kb, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale  # [BQ, BK] fp32
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kv_start
-        p = jnp.where(col < n_valid, jnp.exp(s - lse), 0.0)
+        if has_mask:
+            vrow = valid_ref[0, 0, :]  # this program's K tile, [BK] lanes
+            ok = jnp.broadcast_to(vrow[None, :] > 0.5, s.shape)
+        else:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kv_start
+            ok = col < n_valid
+        # lse of an all-masked row is the -1e30 sentinel; the where keeps
+        # exp(s - lse) from turning those columns into garbage
+        p = jnp.where(ok, jnp.exp(s - lse), 0.0)
 
         # dV += P^T dO
         dv = dv + jax.lax.dot_general(
@@ -211,12 +273,18 @@ def _flash_bwd_dkdv_kernel(q_ref, do_ref, lse_ref, dd_ref, k_ref, v_ref,
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
-def _flash_bwd_dq_kernel(k_ref, v_ref, do_ref, lse_ref, dd_ref, q_ref,
-                         dq_ref, *, scale: float, n_valid: int, block_k: int):
+def _flash_bwd_dq_kernel(*refs, scale: float, n_valid: int, block_k: int,
+                         has_mask: bool, n_heads: int = 1):
     """One Q tile vs all K/V tiles.
 
-    k_ref, v_ref: [1, n_pad, Dh]; q_ref, do_ref, dq_ref: [1, BQ, Dh];
+    k_ref, v_ref: [1, n_pad, Dh]; valid_ref (only when has_mask):
+    [1, 1, n_pad] fp32 key-validity (batch row picked by the index map); q_ref, do_ref, dq_ref: [1, BQ, Dh];
     lse_ref, dd_ref: [1, BQ, 1]."""
+    if has_mask:
+        k_ref, v_ref, do_ref, lse_ref, dd_ref, q_ref, valid_ref, dq_ref = refs
+    else:
+        k_ref, v_ref, do_ref, lse_ref, dd_ref, q_ref, dq_ref = refs
+        valid_ref = None
     qn = q_ref[0]  # native dtype (bf16 MXU inputs, fp32 accum)
     do = do_ref[0]
     lse = lse_ref[0]  # [BQ, 1]
@@ -235,8 +303,13 @@ def _flash_bwd_dq_kernel(k_ref, v_ref, do_ref, lse_ref, dd_ref, q_ref,
             preferred_element_type=jnp.float32,
         ) * scale
         lo = kb_i * block_k
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + lo
-        p = jnp.where(col < n_valid, jnp.exp(s - lse), 0.0)
+        if has_mask:
+            vrow = valid_ref[0, 0, lo : lo + block_k]  # [BK] lanes
+            ok = jnp.broadcast_to(vrow[None, :] > 0.5, s.shape)
+        else:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + lo
+            ok = col < n_valid
+        p = jnp.where(ok, jnp.exp(s - lse), 0.0)
         dp = jax.lax.dot_general(
             do, vb, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -250,7 +323,8 @@ def _flash_bwd_dq_kernel(k_ref, v_ref, do_ref, lse_ref, dd_ref, q_ref,
     dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
 
 
-def _flash_backward(q, k, v, out, lse, g, interpret: bool | None = None):
+def _flash_backward(q, k, v, out, lse, g, kpad=None,
+                    interpret: bool | None = None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -265,6 +339,8 @@ def _flash_backward(q, k, v, out, lse, g, interpret: bool | None = None):
     dof = _flat_pad(g, B, H, N, Dh, pad_q)  # zero dO at padded q rows
     kf = _flat_pad(k, B, H, N, Dh, n_pad)
     vf = _flat_pad(v, B, H, N, Dh, n_pad)
+    has_mask = kpad is not None
+    valid = _valid_mask(kpad, N, n_pad) if has_mask else None
 
     # D = rowsum(dO * O) — O(N*Dh) elementwise, fine in XLA
     delta = jnp.sum(
@@ -275,8 +351,29 @@ def _flash_backward(q, k, v, out, lse, g, interpret: bool | None = None):
     delta = delta[..., None]  # [BH, pad_q, 1] (TPU-tileable trailing dim)
 
     dkdv_kernel = functools.partial(
-        _flash_bwd_dkdv_kernel, scale=scale, n_valid=N, block_q=BLOCK_Q
+        _flash_bwd_dkdv_kernel, scale=scale, n_valid=N, block_q=BLOCK_Q,
+        has_mask=has_mask, n_heads=H,
     )
+    dkdv_specs = [
+        pl.BlockSpec((1, pad_q, Dh), lambda bh, ki: (bh, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, pad_q, Dh), lambda bh, ki: (bh, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, pad_q, 1), lambda bh, ki: (bh, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, pad_q, 1), lambda bh, ki: (bh, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, BLOCK_K, Dh), lambda bh, ki: (bh, ki, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, BLOCK_K, Dh), lambda bh, ki: (bh, ki, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    dkdv_operands = [qf, dof, lse, delta, kf, vf]
+    if has_mask:
+        dkdv_specs.append(
+            pl.BlockSpec((1, 1, BLOCK_K), lambda bh, ki: (bh // H, 0, ki),
+                         memory_space=pltpu.VMEM))
+        dkdv_operands.append(valid)
     dk, dv = pl.pallas_call(
         dkdv_kernel,
         out_shape=(
@@ -285,20 +382,7 @@ def _flash_backward(q, k, v, out, lse, g, interpret: bool | None = None):
         ),
         grid_spec=pl.GridSpec(
             grid=(B * H, n_pad // BLOCK_K),
-            in_specs=[
-                pl.BlockSpec((1, pad_q, Dh), lambda bh, ki: (bh, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, pad_q, Dh), lambda bh, ki: (bh, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, pad_q, 1), lambda bh, ki: (bh, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, pad_q, 1), lambda bh, ki: (bh, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, BLOCK_K, Dh), lambda bh, ki: (bh, ki, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, BLOCK_K, Dh), lambda bh, ki: (bh, ki, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=dkdv_specs,
             out_specs=(
                 pl.BlockSpec((1, BLOCK_K, Dh), lambda bh, ki: (bh, ki, 0),
                              memory_space=pltpu.VMEM),
@@ -307,35 +391,43 @@ def _flash_backward(q, k, v, out, lse, g, interpret: bool | None = None):
             ),
         ),
         interpret=interpret,
-    )(qf, dof, lse, delta, kf, vf)
+    )(*dkdv_operands)
 
     dq_kernel = functools.partial(
-        _flash_bwd_dq_kernel, scale=scale, n_valid=N, block_k=BLOCK_K
+        _flash_bwd_dq_kernel, scale=scale, n_valid=N, block_k=BLOCK_K,
+        has_mask=has_mask, n_heads=H,
     )
+    dq_specs = [
+        pl.BlockSpec((1, n_pad, Dh), lambda bh, qi: (bh, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n_pad, Dh), lambda bh, qi: (bh, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, BLOCK_Q, Dh), lambda bh, qi: (bh, qi, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, BLOCK_Q, 1), lambda bh, qi: (bh, qi, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, BLOCK_Q, 1), lambda bh, qi: (bh, qi, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, BLOCK_Q, Dh), lambda bh, qi: (bh, qi, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    dq_operands = [kf, vf, dof, lse, delta, qf]
+    if has_mask:
+        dq_specs.append(
+            pl.BlockSpec((1, 1, n_pad), lambda bh, qi: (bh // H, 0, 0),
+                         memory_space=pltpu.VMEM))
+        dq_operands.append(valid)
     dq = pl.pallas_call(
         dq_kernel,
         out_shape=jax.ShapeDtypeStruct((B * H, pad_q, Dh), q.dtype),
         grid_spec=pl.GridSpec(
             grid=(B * H, pad_q // BLOCK_Q),
-            in_specs=[
-                pl.BlockSpec((1, n_pad, Dh), lambda bh, qi: (bh, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, n_pad, Dh), lambda bh, qi: (bh, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, BLOCK_Q, Dh), lambda bh, qi: (bh, qi, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, BLOCK_Q, 1), lambda bh, qi: (bh, qi, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, BLOCK_Q, 1), lambda bh, qi: (bh, qi, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, BLOCK_Q, Dh), lambda bh, qi: (bh, qi, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=dq_specs,
             out_specs=pl.BlockSpec((1, BLOCK_Q, Dh), lambda bh, qi: (bh, qi, 0),
                                    memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
-    )(kf, vf, dof, lse, delta, qf)
+    )(*dq_operands)
 
     def unpad(x):
         return x[:, :N, :].reshape(B, H, N, Dh)
@@ -349,8 +441,7 @@ def _flash_backward(q, k, v, out, lse, g, interpret: bool | None = None):
 
 
 @jax.custom_vjp
-def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
-    """[B, H, N, Dh] x3 -> [B, H, N, Dh]; softmax stats in fp32."""
+def _flash_plain(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     return _flash_forward(q, k, v)[0]
 
 
@@ -364,9 +455,48 @@ def _bwd(res, g):
     return _flash_backward(q, k, v, out, lse, g)
 
 
-flash_attention.defvjp(_fwd, _bwd)
+_flash_plain.defvjp(_fwd, _bwd)
 
 
-def flash_attention_interpret(q, k, v):
+@jax.custom_vjp
+def _flash_masked(q, k, v, kpad_f: jnp.ndarray) -> jnp.ndarray:
+    # kpad_f: [B, N] fp32, 1.0 = PAD (float so custom_vjp can hand back a
+    # well-typed zero cotangent; the kernels consume it as a validity mask)
+    return _flash_forward(q, k, v, kpad_f > 0.5)[0]
+
+
+def _fwd_masked(q, k, v, kpad_f):
+    kpad = kpad_f > 0.5
+    out, lse = _flash_forward(q, k, v, kpad)
+    return out, (q, k, v, out, lse, kpad_f)
+
+
+def _bwd_masked(res, g):
+    q, k, v, out, lse, kpad_f = res
+    dq, dk, dv = _flash_backward(q, k, v, out, lse, g, kpad_f > 0.5)
+    return dq, dk, dv, jnp.zeros_like(kpad_f)
+
+
+_flash_masked.defvjp(_fwd_masked, _bwd_masked)
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    key_padding_mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """[B, H, N, Dh] x3 -> [B, H, N, Dh]; softmax stats in fp32.
+
+    key_padding_mask: optional [B, N] bool, True = PAD (torch
+    MultiheadAttention semantics, shared across heads) — masked INSIDE the
+    kernels, so the N x N bias tensor of the XLA path is never materialized.
+    """
+    if key_padding_mask is None:
+        return _flash_plain(q, k, v)
+    return _flash_masked(q, k, v, key_padding_mask.astype(jnp.float32))
+
+
+def flash_attention_interpret(q, k, v, key_padding_mask=None):
     """Interpreter-mode entry for CPU tests of the kernel logic."""
-    return _flash_forward(q, k, v, interpret=True)[0]
+    return _flash_forward(q, k, v, key_padding_mask, interpret=True)[0]

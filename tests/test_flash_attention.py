@@ -93,3 +93,76 @@ def test_flash_backward_is_memory_linear():
 
     hlo_ref = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2))).lower(*args).as_text()
     assert "8192x8192" in hlo_ref or "8192,8192" in hlo_ref
+
+
+@pytest.mark.parametrize("shape", [
+    (2, 2, 133, 64),    # mvp tokens + padded tail
+    (2, 2, 1101, 64),   # t2i-512 shape: 77 text + 1024 image tokens
+])
+def test_flash_key_padding_mask_matches_reference(shape):
+    """In-kernel key-padding masking == additive-bias XLA path (this is the
+    path the t2i-512 sampler takes: text PAD keys masked, image keys valid)."""
+    from multimodal_diffusion_tpu.ops.attention import padding_bias
+
+    B, H, N, Dh = shape
+    ks = jax.random.split(jax.random.PRNGKey(3), 4)
+    q = jax.random.normal(ks[0], shape, jnp.float32)
+    k = jax.random.normal(ks[1], shape, jnp.float32)
+    v = jax.random.normal(ks[2], shape, jnp.float32)
+    # mask a text-like prefix region differently per batch row (row 0 also
+    # blanks a full 128-key block to exercise the all-masked-block guard)
+    kpad = np.zeros((B, N), bool)
+    kpad[0, :128] = True
+    kpad[1:, 5:40] = True
+    kpad = jnp.asarray(kpad)
+
+    out_ref = mha_reference(q, k, v, padding_bias(kpad, H))
+    out_flash = flash_attention_interpret(q, k, v, kpad)
+    np.testing.assert_allclose(np.asarray(out_flash), np.asarray(out_ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_flash_key_padding_mask_backward():
+    from multimodal_diffusion_tpu.ops.attention import padding_bias
+    from multimodal_diffusion_tpu.ops.flash_attention import flash_attention
+
+    shape = (2, 2, 261, 32)  # multiple K/Q blocks with a padded tail
+    B, H, N, Dh = shape
+    ks = jax.random.split(jax.random.PRNGKey(4), 3)
+    q = jax.random.normal(ks[0], shape, jnp.float32)
+    k = jax.random.normal(ks[1], shape, jnp.float32)
+    v = jax.random.normal(ks[2], shape, jnp.float32)
+    kpad = np.zeros((B, N), bool)
+    kpad[0, :130] = True
+    kpad[1, 7:77] = True
+    kpad = jnp.asarray(kpad)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, kpad) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(mha_reference(q, k, v, padding_bias(kpad, H)) ** 2)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", g_flash, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4,
+            err_msg=f"d{name}",
+        )
+
+
+def test_multi_head_attention_mask_dispatch():
+    """multi_head_attention(key_padding_mask=...) == prebuilt-bias path."""
+    from multimodal_diffusion_tpu.ops.attention import (
+        multi_head_attention, padding_bias,
+    )
+
+    shape = (2, 2, 70, 16)
+    ks = jax.random.split(jax.random.PRNGKey(5), 3)
+    q, k, v = (jax.random.normal(ki, shape, jnp.float32) for ki in ks)
+    kpad = jnp.asarray(np.random.default_rng(0).random((2, 70)) < 0.3)
+    a = multi_head_attention(q, k, v, key_padding_mask=kpad)
+    b = mha_reference(q, k, v, padding_bias(kpad, 2))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-6, atol=1e-6)

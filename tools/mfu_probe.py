@@ -43,7 +43,10 @@ def chain_time(fn, x0, n_inner=20, repeats=5):
         return jax.lax.fori_loop(0, n_inner, body, x)
 
     def sync(t):
-        return float(np.asarray(t).ravel()[0])
+        # device-side ravel+index: transfers 4 bytes, not the whole array
+        # (np.asarray here would pull 64 MB per sync through the tunnel and
+        # dominate every measurement)
+        return float(jnp.asarray(t).ravel()[0])
 
     sync(loop(x0))
     sync(loop(x0))
