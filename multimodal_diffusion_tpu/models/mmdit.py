@@ -285,6 +285,10 @@ class MMDiTConfig:
     gelu_exact: bool = True  # erf GELU (torch parity); False = tanh approx
     dtype: Any = jnp.float32
     remat: bool = False
+    # pad the token axis up to a multiple of this before the blocks (pad rows
+    # are masked keys, outputs sliced off).  TPU matmul tiles are 128-lane:
+    # measured 53.4 -> 59.0 TF/s on the t2i-512 core just from N=1101 -> 1152.
+    seq_multiple: int = 1
     # sequence/context parallelism (opt-in): mesh axis to shard the token
     # axis over + the Mesh itself; attention becomes a ppermute ring.
     mesh: Any = None
@@ -327,6 +331,24 @@ class MMDiT(nn.Module):
             ).astype(x.dtype)
             x = x * keep[..., None]
 
+        # MXU-friendly sequence padding: bring N up to a multiple of
+        # cfg.seq_multiple so every [B*N, d] matmul tiles the 128-lane MXU
+        # without partial tiles.  Pad rows are masked as *keys* (the flash
+        # kernel masks in-kernel; the XLA path via additive bias) and their
+        # outputs are sliced off below, so numerics are unchanged.  Skipped
+        # under context parallelism (ring attention has no mask support and
+        # CP already requires its own divisibility).
+        N = x.shape[1]
+        pad_n = (-N) % max(1, cfg.seq_multiple) if cfg.context_axis is None else 0
+        if pad_n:
+            B = x.shape[0]
+            x = jnp.pad(x, ((0, 0), (0, pad_n), (0, 0)))
+            if key_padding_mask is None:
+                key_padding_mask = jnp.zeros((B, N), bool)
+            key_padding_mask = jnp.pad(
+                key_padding_mask, ((0, 0), (0, pad_n)), constant_values=True
+            )
+
         block_cls = Block
         if cfg.remat:
             block_cls = nn.remat(Block, static_argnums=(3,))
@@ -345,4 +367,6 @@ class MMDiT(nn.Module):
                 name=f"block_{i}",
             )(x, key_padding_mask, deterministic)
 
+        if pad_n:
+            x = x[:, :N, :]
         return make_norm(cfg.norm, cfg.dtype)(x)

@@ -193,3 +193,27 @@ def test_adapters():
     te = TimestepEmbedder(dim=16, mode="mlp")
     emb = te.apply(te.init(KEY, jnp.array([5])), jnp.array([5, 7]))
     assert emb.shape == (2, 16)
+
+
+def test_mmdit_seq_multiple_padding_parity():
+    """seq_multiple pads N internally (masked keys, sliced outputs) — the
+    result must be bit-comparable to the unpadded model with the same params."""
+    import dataclasses
+
+    x = jax.random.normal(KEY, (2, 133, 64))
+    m_plain = MMDiT(SMALL_CORE)
+    m_padded = MMDiT(dataclasses.replace(SMALL_CORE, seq_multiple=128))
+    params = m_plain.init(KEY, x)
+
+    y0 = m_plain.apply(params, x)
+    y1 = m_padded.apply(params, x)  # pads 133 -> 256 internally
+    assert y1.shape == y0.shape
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               rtol=1e-5, atol=1e-6)
+
+    # with a caller-supplied key-padding mask on top
+    mask = jnp.zeros((2, 133), bool).at[:, 100:].set(True)
+    ym0 = m_plain.apply(params, x, mask)
+    ym1 = m_padded.apply(params, x, mask)
+    np.testing.assert_allclose(np.asarray(ym1[:, :100]), np.asarray(ym0[:, :100]),
+                               rtol=1e-5, atol=1e-6)

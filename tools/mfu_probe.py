@@ -67,6 +67,10 @@ def main(argv=None):
     ap.add_argument("--heads", type=int, default=8)
     ap.add_argument("--tokens", type=int, default=1101,
                     help="1024 image + 77 text tokens at t2i-512")
+    ap.add_argument("--seq-multiple", type=int, default=1,
+                    help="MMDiTConfig.seq_multiple (128 = MXU tile padding)")
+    ap.add_argument("--masked", action="store_true",
+                    help="mask a text-PAD-like prefix (the real sampler path)")
     ap.add_argument("--calib-size", type=int, default=4096)
     args = ap.parse_args(argv)
 
@@ -101,12 +105,20 @@ def main(argv=None):
     B, N, d = args.batch, args.tokens, args.d
     core = MMDiT(MMDiTConfig(d_model=d, n_layers=args.layers,
                              n_heads=args.heads, dropout=0.0,
-                             gelu_exact=False, dtype=dtype))
+                             gelu_exact=False, dtype=dtype,
+                             seq_multiple=args.seq_multiple))
     x = jax.random.normal(jax.random.PRNGKey(2), (B, N, d), dtype)
+    mask = None
+    if args.masked:
+        # ~half the 77 text tokens padded, image tokens all valid — the
+        # shape of the real t2i CFG sampler batch
+        mask = jnp.zeros((B, N), bool).at[:, 40:77].set(True)
     params = core.init({"params": jax.random.PRNGKey(3)},
                        jnp.zeros((1, 8, d), jnp.float32))["params"]
-    t_core = chain_time(lambda xx: core.apply({"params": params}, xx), x,
+    t_core = chain_time(lambda xx: core.apply({"params": params}, xx, mask), x,
                         n_inner=10)
+    # FLOPs counted at the true N (pad-row work is overhead the kernel pays,
+    # not useful math — MFU must not credit it)
     fl_core = B * flops_mmdit_forward(N, d, args.layers)
     report["core_fwd_ms"] = round(t_core * 1e3, 3)
     report["core_tflops"] = round(fl_core / t_core / 1e12, 1)
