@@ -21,6 +21,7 @@ step needs; collate is a stack.
 
 from __future__ import annotations
 
+import functools
 import json
 from pathlib import Path
 from typing import Dict, Iterable, List, Optional, Sequence, Tuple
@@ -204,3 +205,95 @@ class RecordDataset:
             "fps": self.fps,
             "sr": self.sr,
         }
+
+
+def device_resident_batches(dataset: "RecordDataset", mesh, batch_size: int,
+                            seed: int = 0, shuffle: bool = True):
+    """Zero-per-step-host-transfer input: upload ALL records to HBM once,
+    then gather each batch on-device by index.
+
+    On a tunneled/remote chip the per-step host->device batch transfer is
+    the training bottleneck (measured 2.9 clips/s fed from host vs a 56
+    clips/s jitted step at mvp scale — ~20 MB/step through the tunnel);
+    a GRID-scale corpus (400 clips = ~1 GB uint8) fits in one chip's 16 GB
+    HBM many times over, so the TPU-native answer is residency: one upload,
+    then an on-device `take` per step.  Batches yield as sharded jax arrays;
+    `parallel.sharding.shard_batch` passes them through untouched.
+
+    Multi-host note: each process uploads only its own addressable shard of
+    the record set (processes see disjoint record files in practice); the
+    batch gather stays process-local, exactly like the loader path.
+
+    Yields {"video": uint8 [B, T, H, W, 3] | fp32, "audio": [B, 1, L],
+    "has_video"/"has_audio": [B] float32} with the leading axis sharded
+    over the mesh's 'data' axis.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..parallel.sharding import batch_sharding
+
+    n = len(dataset)
+    v_parts, a_parts, flags = [], [], []
+    for s in dataset.shards:
+        mm = s._mm
+        body = mm[s.data_off : s.data_off + s.n * s.rec_bytes]
+        recs = np.frombuffer(body, np.uint8).reshape(s.n, s.rec_bytes)
+        v = recs[:, : s.v_bytes]
+        a = recs[:, s.v_bytes :]
+        v_parts.append(
+            np.frombuffer(v.tobytes(), s.video_dtype).reshape(
+                (s.n,) + s.video_shape))
+        a_parts.append(
+            np.frombuffer(a.tobytes(), s.audio_dtype).reshape(
+                (s.n,) + s.audio_shape))
+        flags.append(s.flags)
+    video_all = np.concatenate(v_parts)   # [n, T, H, W, 3] uint8
+    audio_all = np.concatenate(a_parts).reshape(n, 1, -1)
+    flag_all = np.concatenate(flags)
+    has_v = (flag_all & 1).astype(np.float32)
+    has_a = ((flag_all >> 1) & 1).astype(np.float32)
+
+    if not dataset.device_preprocess:
+        video_all = (video_all.astype(np.float32) / 255.0).transpose(
+            0, 4, 1, 2, 3)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rep = NamedSharding(mesh, P())
+    vd = jax.device_put(video_all, rep)
+    ad = jax.device_put(audio_all, rep)
+    hv = jax.device_put(has_v, rep)
+    ha = jax.device_put(has_a, rep)
+    jax.block_until_ready((vd, ad, hv, ha))
+
+    out_shardings = {
+        "video": batch_sharding(mesh, video_all.ndim),
+        "audio": batch_sharding(mesh, audio_all.ndim),
+        "has_video": batch_sharding(mesh, 1),
+        "has_audio": batch_sharding(mesh, 1),
+    }
+
+    @functools.partial(jax.jit, out_shardings=out_shardings)
+    def gather(vd, ad, hv, ha, idx):
+        return {
+            "video": jnp.take(vd, idx, axis=0),
+            "audio": jnp.take(ad, idx, axis=0),
+            "has_video": jnp.take(hv, idx, axis=0),
+            "has_audio": jnp.take(ha, idx, axis=0),
+        }
+
+    rng = np.random.default_rng(seed)
+    order = np.arange(n)
+    pos = n  # trigger reshuffle on first use
+    while True:
+        if shuffle:
+            if pos + batch_size > n:
+                rng.shuffle(order)
+                pos = 0
+            idx = order[pos : pos + batch_size]
+            pos += batch_size
+        else:
+            idx = (np.arange(batch_size) + pos) % n
+            pos += batch_size
+        yield gather(vd, ad, hv, ha, jnp.asarray(idx, jnp.int32))

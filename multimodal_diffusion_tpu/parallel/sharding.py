@@ -63,7 +63,10 @@ def shard_batch(mesh: Mesh, batch: Any) -> Any:
     n_data = mesh.shape["data"]
 
     def put(x):
-        x = np.asarray(x)
+        if not isinstance(x, jax.Array):
+            # device arrays (e.g. the device-resident gather path) must NOT
+            # round-trip through the host: np.asarray would pull them back
+            x = np.asarray(x)
         if x.ndim >= 1 and x.shape[0] % n_data == 0:
             return jax.device_put(x, batch_sharding(mesh, x.ndim))
         return jax.device_put(x, replicated(mesh))

@@ -85,20 +85,31 @@ def main(argv=None):
 
     bundle = create_trainer(cfg)
     global_batch = bundle.latent_shapes["video"][0]
-    loader = DataLoader(
-        dataset,
-        batch_size=global_batch,
-        collate_fn=lambda items: collate_batch(items, T_target, L_target),
-        shuffle=True,
-        drop_last=True,
-        num_workers=int(cfg["data"].get("num_workers", 2)) or 2,
-        prefetch=int(cfg["data"].get("prefetch_factor", 2)),
-        seed=int(cfg.get("seed", 0)),
-        shard_id=jax.process_index(),
-        num_shards=jax.process_count(),
-    )
+    resident = bool(cfg["data"].get("device_resident", False)) and records
+    if resident:
+        # corpus fits in HBM: upload once, gather batches on-device — zero
+        # per-step host transfer (essential on tunneled/low-bandwidth hosts;
+        # see datasets/records.device_resident_batches)
+        from ..datasets.records import device_resident_batches
+
+        loader = device_resident_batches(
+            dataset, bundle.mesh, global_batch, seed=int(cfg.get("seed", 0)))
+    else:
+        loader = DataLoader(
+            dataset,
+            batch_size=global_batch,
+            collate_fn=lambda items: collate_batch(items, T_target, L_target),
+            shuffle=True,
+            drop_last=True,
+            num_workers=int(cfg["data"].get("num_workers", 2)) or 2,
+            prefetch=int(cfg["data"].get("prefetch_factor", 2)),
+            seed=int(cfg.get("seed", 0)),
+            shard_id=jax.process_index(),
+            num_shards=jax.process_count(),
+        )
     print(f"[data] {len(dataset)} clips; global batch {global_batch}; "
-          f"mesh {dict(bundle.mesh.shape)}")
+          f"mesh {dict(bundle.mesh.shape)}; "
+          f"{'device-resident' if resident else 'streamed'} input")
 
     # ---- logging / checkpoints (lead host only) ----
     writer = MetricWriter(cfg["paths"]["log_dir"]) if is_lead else None

@@ -135,3 +135,91 @@ def test_train_joint_cli_with_records(tmp_path):
     mgr = CheckpointManager(tmp_path / "run/ckpt")
     assert mgr.latest_step() == 2
     mgr.close()
+
+
+def test_device_resident_batches(tmp_path):
+    """Resident mode: records upload once, batches gather on-device with the
+    leading axis sharded over 'data', video staying uint8, values matching
+    the source records."""
+    import jax
+
+    from multimodal_diffusion_tpu.datasets.records import (
+        RecordDataset, device_resident_batches, write_record_shards,
+    )
+    from multimodal_diffusion_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(0)
+    vids = rng.integers(0, 255, (6, 4, 8, 8, 3), dtype=np.uint8)
+    auds = rng.standard_normal((6, 1600)).astype(np.float32)
+
+    def items():
+        for i in range(6):
+            yield {"video": vids[i], "audio": auds[i]}
+
+    rec_dir = tmp_path / "records"
+    write_record_shards(items(), rec_dir, video_shape=(4, 8, 8, 3),
+                        audio_shape=(1600,), clips_per_shard=4, fps=8, sr=8000)
+
+    ds = RecordDataset(rec_dir, device_preprocess=True)
+    mesh = make_mesh(data=2, model=1, devices=jax.devices()[:2])
+    gen = device_resident_batches(ds, mesh, batch_size=4, seed=0,
+                                  shuffle=False)
+    b0 = next(gen)
+    assert b0["video"].dtype == np.uint8  # on-device normalize path
+    assert b0["video"].shape == (4, 4, 8, 8, 3)
+    assert b0["audio"].shape == (4, 1, 1600)
+    np.testing.assert_array_equal(np.asarray(b0["video"]), vids[:4])
+    np.testing.assert_allclose(np.asarray(b0["audio"])[:, 0, :], auds[:4])
+    assert np.all(np.asarray(b0["has_video"]) == 1.0)
+    # leading axis is sharded over 'data'
+    assert len(b0["video"].sharding.device_set) == 2
+    # second batch wraps deterministically in no-shuffle mode
+    b1 = next(gen)
+    np.testing.assert_array_equal(np.asarray(b1["video"]),
+                                  vids[[4, 5, 0, 1]])
+    # shard_batch must pass device arrays through without a host round-trip
+    from multimodal_diffusion_tpu.parallel.sharding import shard_batch
+    out = shard_batch(mesh, b0)
+    assert out["video"] is b0["video"] or isinstance(out["video"], jax.Array)
+
+
+def test_train_joint_cli_device_resident(tmp_path):
+    """train_joint with data.device_resident: resident gather feeds the
+    jitted step end-to-end (2 steps + checkpoint)."""
+    import yaml
+    from tests._tiny import tiny_cfg
+    from multimodal_diffusion_tpu.train.train_joint import main
+    from multimodal_diffusion_tpu.train.checkpoint import CheckpointManager
+    from multimodal_diffusion_tpu.datasets.records import write_record_shards
+
+    rec_dir = tmp_path / "records"
+    rng = np.random.default_rng(1)
+
+    def items():
+        for _ in range(8):
+            yield {
+                "video": rng.integers(0, 255, (8, 32, 32, 3), dtype=np.uint8),
+                "audio": rng.uniform(-1, 1, (8000,)).astype(np.float32),
+            }
+
+    write_record_shards(items(), rec_dir, video_shape=(8, 32, 32, 3),
+                        audio_shape=(8000,), fps=8, sr=8000)
+
+    cfg = tiny_cfg()
+    cfg["paths"] = {
+        "out_root": str(tmp_path / "run"),
+        "ckpt_dir": str(tmp_path / "run/ckpt"),
+        "log_dir": str(tmp_path / "run/logs"),
+        "samples_dir": str(tmp_path / "run/samples"),
+    }
+    cfg["data"].update({"records_dir": str(rec_dir),
+                        "device_resident": True,
+                        "device_preprocess": True})
+    cfg["training"].update({"max_steps": 2, "log_every": 1, "ckpt_every": 50})
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    main(["--config", str(cfg_path), "--max-steps", "2"])
+    mgr = CheckpointManager(tmp_path / "run/ckpt")
+    assert mgr.latest_step() == 2
+    mgr.close()
