@@ -261,8 +261,28 @@ def device_resident_batches(dataset: "RecordDataset", mesh, batch_size: int,
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     rep = NamedSharding(mesh, P())
-    vd = jax.device_put(video_all, rep)
-    ad = jax.device_put(audio_all, rep)
+
+    def put_chunked(arr, chunk_bytes=64 << 20):
+        """device_put in <=64 MB pieces: one giant transfer intermittently
+        wedges the tunneled-chip link (observed on a ~1 GB upload); smaller
+        messages also give us per-chunk completion points."""
+        per_item = int(np.prod(arr.shape[1:])) * arr.dtype.itemsize
+        step = max(1, chunk_bytes // max(1, per_item))
+        if arr.shape[0] <= step:
+            out = jax.device_put(arr, rep)
+            jax.block_until_ready(out)
+            return out
+        parts = []
+        for lo in range(0, arr.shape[0], step):
+            p = jax.device_put(np.ascontiguousarray(arr[lo : lo + step]), rep)
+            jax.block_until_ready(p)
+            parts.append(p)
+        out = jnp.concatenate(parts, axis=0)
+        jax.block_until_ready(out)
+        return out
+
+    vd = put_chunked(video_all)
+    ad = put_chunked(audio_all)
     hv = jax.device_put(has_v, rep)
     ha = jax.device_put(has_a, rep)
     jax.block_until_ready((vd, ad, hv, ha))

@@ -133,10 +133,17 @@ def main(argv=None):
             writer.write(step, metrics)
         print(f"step {step}: " + " ".join(f"{k}={v:.4f}" for k, v in metrics.items()))
 
+    # async saves overlap the orbax device-pull with live training — the
+    # right default on real pods, but on a tunneled chip the concurrent
+    # device_get + step dispatches can wedge the link; ckpt_async: false
+    # serializes each save (training pauses ~seconds per checkpoint).
+    ckpt_async = bool(cfg["training"].get("ckpt_async", True))
+
     def ckpt_fn(step, state):
         if ckpt is not None:
             ckpt.save(step, state_to_tree(state),
-                      meta={"experiment": cfg.get("experiment", "")})
+                      meta={"experiment": cfg.get("experiment", "")},
+                      wait=not ckpt_async)
 
     # validation (the reference parsed val_every but wired no val loop)
     val_fn = None
