@@ -107,9 +107,9 @@ def main(argv=None):
     if dtype == jnp.bfloat16:
         # inference-only: bf16 weights halve HBM weight traffic and remove
         # the per-use fp32->bf16 casts inside the 50-step scan
-        params = jax.tree_util.tree_map(
-            lambda x: x.astype(jnp.bfloat16)
-            if x.dtype == jnp.float32 else x, params)
+        from multimodal_diffusion_tpu.train.checkpoint import cast_params_bf16
+
+        params = cast_params_bf16(params)
 
     target = "audio" if args.direction == "v2a" else "video"
     sample, _ = sampler_from_config(model, cfg, target=target)
@@ -307,9 +307,9 @@ def bench_t2i(args):
         abstract,
     )
     if dtype == jnp.bfloat16:
-        params = jax.tree_util.tree_map(
-            lambda x: x.astype(jnp.bfloat16)
-            if x.dtype == jnp.float32 else x, params)
+        from multimodal_diffusion_tpu.train.checkpoint import cast_params_bf16
+
+        params = cast_params_bf16(params)
 
     sampler = make_t2i_sampler(model, sampler_steps=args.steps,
                                guidance_scale=5.0)

@@ -234,6 +234,12 @@ def device_resident_batches(dataset: "RecordDataset", mesh, batch_size: int,
     from ..parallel.sharding import batch_sharding
 
     n = len(dataset)
+    if batch_size > n:
+        # fail loudly up front: a short gather batch would otherwise surface
+        # as an opaque XLA shape mismatch deep inside the jitted train step
+        raise ValueError(
+            f"batch_size {batch_size} exceeds record count {n}; shrink the "
+            f"batch or add records")
     v_parts, a_parts, flags = [], [], []
     for s in dataset.shards:
         mm = s._mm

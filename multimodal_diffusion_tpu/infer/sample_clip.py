@@ -24,6 +24,7 @@ Differences by design (all fixes of reference defects, SURVEY §2.12):
 from __future__ import annotations
 
 import argparse
+from collections import OrderedDict
 from pathlib import Path
 from typing import Dict, Optional
 
@@ -34,7 +35,9 @@ import numpy as np
 from ..media.audio_io import read_wav, write_wav
 from ..media.video_io import load_frames_dir, write_frames
 from ..models.diffusion import AVDiffusionConfig, AVDiffusionModel
-from ..train.checkpoint import CheckpointManager, params_only_tree
+from ..train.checkpoint import (
+    CheckpointManager, cast_params_bf16, params_only_tree,
+)
 from ..train.trainer import compute_dtype_from_config, latent_shapes_from_config
 from ..utils.io import load_config
 from .ddim import sampler_from_config
@@ -66,7 +69,17 @@ def build_components(cfg: Dict, use_ema: bool = False,
 
     Returns (model, params)."""
     dtype = compute_dtype_from_config(cfg)
-    model = AVDiffusionModel(AVDiffusionConfig.from_config(cfg, dtype=dtype))
+    # context-parallel configs need a mesh at inference too (the trainer
+    # builds its own; without this, CP-trained checkpoints could not be
+    # sampled/served at all)
+    mesh = None
+    par = cfg.get("parallel", {}) or {}
+    if int(par.get("context", 1) or 1) > 1:
+        from ..parallel.mesh import make_mesh_from_config
+
+        mesh = make_mesh_from_config(cfg)
+    model = AVDiffusionModel(
+        AVDiffusionConfig.from_config(cfg, dtype=dtype, mesh=mesh))
 
     params = None
     paths = cfg.get("paths", {}) or {}
@@ -111,9 +124,7 @@ def build_components(cfg: Dict, use_ema: bool = False,
         )
         params = meta.unbox(variables["params"])
     if bf16_params and compute_dtype_from_config(cfg) == jnp.bfloat16:
-        params = jax.tree_util.tree_map(
-            lambda x: x.astype(jnp.bfloat16)
-            if getattr(x, "dtype", None) == jnp.float32 else x, params)
+        params = cast_params_bf16(params)
     return model, params
 
 
@@ -123,8 +134,12 @@ def build_components(cfg: Dict, use_ema: bool = False,
 
 # jit cache: one compiled scan sampler per (model, direction, schedule/CFG
 # settings).  Without this every call re-traced a fresh closure — streaming
-# paid a full compile per window (VERDICT r1 weak #3).
-_SAMPLER_CACHE: Dict[tuple, callable] = {}
+# paid a full compile per window (VERDICT r1 weak #3).  Bounded LRU: the
+# cached closure pins its model (params tree included), so an unbounded
+# id(model)-keyed dict would leak one model per rebuild in long-lived
+# processes (serve runner config reloads, test suites, notebooks).
+_SAMPLER_CACHE: "OrderedDict[tuple, callable]" = OrderedDict()
+_SAMPLER_CACHE_MAX = 8
 
 
 def get_sampler(model: AVDiffusionModel, cfg: Dict, target: str):
@@ -141,6 +156,10 @@ def get_sampler(model: AVDiffusionModel, cfg: Dict, target: str):
     )
     if key not in _SAMPLER_CACHE:
         _SAMPLER_CACHE[key] = sampler_from_config(model, cfg, target)[0]
+        while len(_SAMPLER_CACHE) > _SAMPLER_CACHE_MAX:
+            _SAMPLER_CACHE.popitem(last=False)
+    else:
+        _SAMPLER_CACHE.move_to_end(key)
     return _SAMPLER_CACHE[key]
 
 

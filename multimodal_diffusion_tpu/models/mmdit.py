@@ -234,12 +234,16 @@ class Block(nn.Module):
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             n_ctx = self.mesh.shape[self.context_axis]
+            # the mesh may carry only the context axis (ring attention needs
+            # nothing else); referencing a non-existent 'data' axis in the
+            # PartitionSpec would crash with an unbound-axis error
+            batch_axis = "data" if "data" in self.mesh.shape else None
             n_data = self.mesh.shape.get("data", 1)
             if x.shape[0] % n_data == 0 and x.shape[1] % n_ctx == 0:
                 return jax.lax.with_sharding_constraint(
                     x,
                     NamedSharding(self.mesh,
-                                  P("data", self.context_axis, None)),
+                                  P(batch_axis, self.context_axis, None)),
                 )
             return x  # minimal-shape init / indivisible seq: unconstrained
         return nn.with_logical_constraint(x, ("batch", "seq", "embed"))

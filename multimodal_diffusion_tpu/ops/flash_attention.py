@@ -47,7 +47,7 @@ def _use_interpret() -> bool:
 
 
 def _flash_fwd_kernel(*refs, scale: float, n_valid: int, block_k: int,
-                      has_mask: bool, n_heads: int = 1):
+                      has_mask: bool):
     """One Q tile vs all K/V tiles, online softmax.
 
     q_ref: [1, BQ, Dh]; k_ref, v_ref: [1, N_pad, Dh]; valid_ref (only when
@@ -157,7 +157,7 @@ def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     grid = (B * H, pad_q // BLOCK_Q)
     kernel = functools.partial(
         _flash_fwd_kernel, scale=scale, n_valid=N, block_k=BLOCK_K,
-        has_mask=has_mask, n_heads=H,
+        has_mask=has_mask,
     )
     in_specs = [
         pl.BlockSpec((1, BLOCK_Q, Dh), lambda bh, qi: (bh, qi, 0),
@@ -203,7 +203,7 @@ def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 
 def _flash_bwd_dkdv_kernel(*refs, scale: float, n_valid: int,
-                           block_q: int, has_mask: bool, n_heads: int = 1):
+                           block_q: int, has_mask: bool):
     """One K/V tile vs all Q tiles.
 
     q_ref, do_ref: [1, pad_q, Dh]; lse_ref, dd_ref: [1, pad_q, 1];
@@ -274,7 +274,7 @@ def _flash_bwd_dkdv_kernel(*refs, scale: float, n_valid: int,
 
 
 def _flash_bwd_dq_kernel(*refs, scale: float, n_valid: int, block_k: int,
-                         has_mask: bool, n_heads: int = 1):
+                         has_mask: bool):
     """One Q tile vs all K/V tiles.
 
     k_ref, v_ref: [1, n_pad, Dh]; valid_ref (only when has_mask):
@@ -352,7 +352,7 @@ def _flash_backward(q, k, v, out, lse, g, kpad=None,
 
     dkdv_kernel = functools.partial(
         _flash_bwd_dkdv_kernel, scale=scale, n_valid=N, block_q=BLOCK_Q,
-        has_mask=has_mask, n_heads=H,
+        has_mask=has_mask,
     )
     dkdv_specs = [
         pl.BlockSpec((1, pad_q, Dh), lambda bh, ki: (bh, 0, 0),
@@ -395,7 +395,7 @@ def _flash_backward(q, k, v, out, lse, g, kpad=None,
 
     dq_kernel = functools.partial(
         _flash_bwd_dq_kernel, scale=scale, n_valid=N, block_k=BLOCK_K,
-        has_mask=has_mask, n_heads=H,
+        has_mask=has_mask,
     )
     dq_specs = [
         pl.BlockSpec((1, n_pad, Dh), lambda bh, qi: (bh, 0, 0),

@@ -60,6 +60,12 @@ class BatchScheduler:
         self._thread.start()
 
     def submit(self, req: Request) -> Request:
+        if self._stop.is_set():
+            # after shutdown() the loop is gone; failing the request here is
+            # the only way its done event ever fires
+            req.error = "scheduler is shut down"
+            req.done.set()
+            return req
         if req.direction not in self._q:
             req.error = f"unknown direction {req.direction!r}"
             req.done.set()
@@ -78,27 +84,43 @@ class BatchScheduler:
         return out
 
     def _loop(self):
-        while not self._stop.is_set():
-            ran = False
-            for direction in ("v2a", "a2v"):
-                batch = self._drain(direction)
-                if not batch:
-                    continue
-                ran = True
-                try:
-                    self._run(direction, batch)
-                    self.batches_run += 1
-                except Exception as e:  # per-batch failure -> per-request
+        try:
+            while not self._stop.is_set():
+                ran = False
+                for direction in ("v2a", "a2v"):
+                    batch = self._drain(direction)
+                    if not batch:
+                        continue
+                    ran = True
+                    try:
+                        self._run(direction, batch)
+                        self.batches_run += 1
+                    except BaseException as e:  # per-batch failure ->
+                        # per-request; BaseException too — a SystemExit out
+                        # of jax must not strand waiters without an answer
+                        for r in batch:
+                            r.error = f"{type(e).__name__}: {e}"
                     for r in batch:
-                        r.error = f"{type(e).__name__}: {e}"
-                for r in batch:
+                        r.done.set()
+                if not ran:
+                    time.sleep(self.poll_s)
+        finally:
+            # loop exiting for ANY reason: fail whatever is still queued so
+            # process_manifest/watch waiters wake instead of hanging forever
+            self._stop.set()
+            for direction in ("v2a", "a2v"):
+                for r in self._drain(direction):
+                    r.error = r.error or "scheduler loop exited"
                     r.done.set()
-            if not ran:
-                time.sleep(self.poll_s)
 
     def shutdown(self):
         self._stop.set()
         self._thread.join(timeout=10)
+        # fail requests that raced shutdown into the queues
+        for direction in ("v2a", "a2v"):
+            for r in self._drain(direction):
+                r.error = r.error or "scheduler is shut down"
+                r.done.set()
 
 
 class InferenceRunner:

@@ -102,3 +102,16 @@ def params_only_tree(tree: Dict[str, Any], use_ema: bool = False) -> Dict[str, A
         params = dict(params)
         params["core"] = tree["ema_core"]
     return params
+
+
+def cast_params_bf16(params: Dict[str, Any]) -> Dict[str, Any]:
+    """fp32 leaves -> bf16 (inference-only: halves HBM weight traffic and
+    removes per-use casts inside the scan samplers).  Non-fp32 leaves (ints,
+    already-bf16) pass through.  The single definition used by
+    sample_clip.build_components and bench.py so the benchmarked numerics
+    are exactly the served numerics."""
+    import jax.numpy as jnp
+
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if getattr(x, "dtype", None) == jnp.float32 else x, params)

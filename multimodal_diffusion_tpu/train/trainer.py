@@ -544,7 +544,13 @@ def run_training(
     except Exception:
         _denoiser_flops_per_step = None
     B_, _, T_, H_, W_ = bundle.latent_shapes["video"]
-    device_pre = bool(cfg.get("data", {}).get("device_preprocess", False))
+    # default must MATCH the dataset side: RecordDataset defaults
+    # device_preprocess=True (train_joint), so a records run without the
+    # explicit flag must zero-fill missing video as uint8 [B,T,H,W,3] — a
+    # float32 latent-shaped fill would retrace the jitted step mid-run
+    data_cfg = cfg.get("data", {}) or {}
+    device_pre = bool(data_cfg.get(
+        "device_preprocess", bool(data_cfg.get("records_dir"))))
 
     def prep_and_put(batch):
         """Host-side prep + async device_put (runs on the prefetch thread)."""

@@ -67,6 +67,8 @@ def main(argv=None):
         device_preprocess=True,  # uint8 [T, H, W, 3]
     )
     n = min(args.n, len(ds))
+    if n == 0:
+        sys.exit("manifest is empty — nothing to evaluate")
     idxs = list(range(len(ds) - n, len(ds)))  # tail = held-out-ish slice
 
     model, params = build_components(cfg, use_ema=args.ema)
@@ -92,20 +94,22 @@ def main(argv=None):
         frames = frames_list[j]
         real = real_wavs[j]
         gen = gen_wavs[j]
-        k = int(rng.integers(0, n - 1))
-        other = (j + 1 + k) % n  # a different clip
         _, corr_gen = estimate_av_sync(frames, gen, sr=sr, fps=fps)
         _, corr_real = estimate_av_sync(frames, real, sr=sr, fps=fps)
-        _, corr_shuf = estimate_av_sync(frames_list[other], gen, sr=sr,
-                                        fps=fps)
-        rows.append({
+        row = {
             "av_sync_corr_gen": corr_gen,
             "av_sync_corr_real": corr_real,
-            "av_sync_corr_shuf": corr_shuf,
             "logmel_l1": logmel_l1(real, gen, sr),
-            "logmel_l1_shuf": logmel_l1(real_wavs[other], gen, sr),
             "spec_convergence": spectral_convergence(real, gen, sr),
-        })
+        }
+        if n > 1:  # shuffle anchors need a *different* clip to exist
+            k = int(rng.integers(0, n - 1))
+            other = (j + 1 + k) % n  # a different clip
+            _, corr_shuf = estimate_av_sync(frames_list[other], gen, sr=sr,
+                                            fps=fps)
+            row["av_sync_corr_shuf"] = corr_shuf
+            row["logmel_l1_shuf"] = logmel_l1(real_wavs[other], gen, sr)
+        rows.append(row)
 
     report = {k: float(np.mean([r[k] for r in rows])) for k in rows[0]}
     report["n_clips"] = n
