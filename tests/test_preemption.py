@@ -72,7 +72,7 @@ def test_sigterm_checkpoints_and_resume(tmp_path):
                             stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
                             text=True)
     # wait until at least 2 steps have logged (compile done, loop running)
-    deadline = time.time() + 420
+    deadline = time.time() + 900  # generous: 1-core hosts under co-tenant load compile slowly
     while time.time() < deadline:
         if metrics.exists() and len(metrics.read_text().splitlines()) >= 2:
             break
@@ -98,7 +98,7 @@ def test_sigterm_checkpoints_and_resume(tmp_path):
     # resume two more steps from the flushed checkpoint
     out2 = subprocess.run(
         cmd + ["--resume", "--max-steps", str(saved + 2)],
-        env=_env(), cwd=REPO, capture_output=True, text=True, timeout=420,
+        env=_env(), cwd=REPO, capture_output=True, text=True, timeout=900,
     )
     assert out2.returncode == 0, out2.stdout[-2000:] + out2.stderr[-2000:]
     assert f"[resume] restored step {saved}" in out2.stdout
