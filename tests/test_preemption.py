@@ -72,7 +72,7 @@ def test_sigterm_checkpoints_and_resume(tmp_path):
                             stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
                             text=True)
     # wait until at least 2 steps have logged (compile done, loop running)
-    deadline = time.time() + 900  # generous: 1-core hosts under co-tenant load compile slowly
+    deadline = time.time() + 1800  # very generous: this box ran 3 concurrent trainers during round 2
     while time.time() < deadline:
         if metrics.exists() and len(metrics.read_text().splitlines()) >= 2:
             break
