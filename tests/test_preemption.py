@@ -68,25 +68,34 @@ def test_sigterm_checkpoints_and_resume(tmp_path):
            "multimodal_diffusion_tpu.train.train_joint",
            "--config", str(cfg_path), "--device", "cpu"]
 
-    proc = subprocess.Popen(cmd, env=_env(), cwd=REPO,
-                            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-                            text=True)
-    # wait until at least 2 steps have logged (compile done, loop running)
-    deadline = time.time() + 1800  # very generous: this box ran 3 concurrent trainers during round 2
-    while time.time() < deadline:
-        if metrics.exists() and len(metrics.read_text().splitlines()) >= 2:
-            break
-        if proc.poll() is not None:
+    # stdout goes to a FILE, not a pipe: the CLI's startup warnings + per-step
+    # prints exceed the 64 KB pipe buffer, and with nobody draining it the
+    # trainer blocks in write() before ever reaching step 2 (observed as
+    # "training never reached step 2": main thread stuck in anon_pipe_write)
+    out_path = tmp_path / "train_out.log"
+    with open(out_path, "w") as out_f:
+        proc = subprocess.Popen(cmd, env=_env(), cwd=REPO,
+                                stdout=out_f, stderr=subprocess.STDOUT,
+                                text=True)
+        # wait until at least 2 steps have logged (compile done, loop running)
+        deadline = time.time() + 900
+        while time.time() < deadline:
+            if metrics.exists() and len(metrics.read_text().splitlines()) >= 2:
+                break
+            if proc.poll() is not None:
+                raise AssertionError(
+                    f"train exited early rc={proc.returncode}:\n"
+                    f"{out_path.read_text()[-3000:]}")
+            time.sleep(1.0)
+        else:
+            proc.kill()
             raise AssertionError(
-                f"train exited early rc={proc.returncode}:\n"
-                f"{proc.stdout.read()[-3000:]}")
-        time.sleep(1.0)
-    else:
-        proc.kill()
-        raise AssertionError("training never reached step 2 in time")
+                "training never reached step 2 in time:\n"
+                f"{out_path.read_text()[-3000:]}")
 
-    proc.send_signal(signal.SIGTERM)
-    out, _ = proc.communicate(timeout=300)
+        proc.send_signal(signal.SIGTERM)
+        proc.wait(timeout=300)
+    out = out_path.read_text()
     assert proc.returncode == 0, out[-3000:]
     assert "[preempt]" in out
 
