@@ -220,9 +220,12 @@ def device_resident_batches(dataset: "RecordDataset", mesh, batch_size: int,
     then an on-device `take` per step.  Batches yield as sharded jax arrays;
     `parallel.sharding.shard_batch` passes them through untouched.
 
-    Multi-host note: each process uploads only its own addressable shard of
-    the record set (processes see disjoint record files in practice); the
-    batch gather stays process-local, exactly like the loader path.
+    Single-host only: arrays are device_put fully replicated over the mesh
+    from this process's records, and the index stream is global (no
+    shard_id/num_shards split like the DataLoader path) — under
+    jax.process_count() > 1 every process would gather identical global
+    indices over different local data, so this generator asserts
+    single-process and multi-host jobs must use the loader path.
 
     Yields {"video": uint8 [B, T, H, W, 3] | fp32, "audio": [B, 1, L],
     "has_video"/"has_audio": [B] float32} with the leading axis sharded
@@ -233,6 +236,11 @@ def device_resident_batches(dataset: "RecordDataset", mesh, batch_size: int,
 
     from ..parallel.sharding import batch_sharding
 
+    if jax.process_count() > 1:
+        raise NotImplementedError(
+            "device_resident_batches is single-host (replicated corpus + "
+            "global index stream); use the DataLoader path for multi-host "
+            "training")
     n = len(dataset)
     if batch_size > n:
         # fail loudly up front: a short gather batch would otherwise surface
@@ -320,6 +328,11 @@ def device_resident_batches(dataset: "RecordDataset", mesh, batch_size: int,
             idx = order[pos : pos + batch_size]
             pos += batch_size
         else:
-            idx = (np.arange(batch_size) + pos) % n
+            # drop the partial tail (same epoch semantics as the shuffle
+            # path and the DataLoader's drop_last=True) instead of wrapping
+            # epoch end and start into one batch
+            if pos + batch_size > n:
+                pos = 0
+            idx = np.arange(pos, pos + batch_size)
             pos += batch_size
         yield gather(vd, ad, hv, ha, jnp.asarray(idx, jnp.int32))

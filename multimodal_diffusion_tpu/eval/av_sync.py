@@ -6,8 +6,10 @@ Parity with the reference `avdiff/models/eval/av_sync.py`:
     Farneback optical-flow magnitude; env[0] copied from env[1]; z-scored.
   * audio_rms_envelope (139-159): per-video-frame RMS windows, z-scored.
   * best_lag_and_corr (164-192): normalized cross-correlation over
-    [-max_lag, +max_lag] (vectorized here; the reference brute-forces a
-    Python loop with identical numerics).
+    [-max_lag, +max_lag].  Implemented as one np.correlate sweep plus a
+    per-lag overlap-length normalization [(len-1)*sx*sy, matching the
+    reference's convention]; equivalence with a brute-force per-lag loop
+    is covered by tests/test_eval.py.
 
 CLI:
   python -m multimodal_diffusion_tpu.eval.av_sync --frames DIR --audio a.wav \
@@ -73,26 +75,35 @@ def audio_rms_envelope(wav: np.ndarray, sr: int, fps: float) -> np.ndarray:
 
 
 def best_lag_and_corr(x: np.ndarray, y: np.ndarray, max_lag: int) -> Tuple[int, float]:
-    """(lag, corr): positive lag = y delayed relative to x; normalized xcorr."""
+    """(lag, corr): positive lag = y delayed relative to x; normalized xcorr.
+
+    Single vectorized sweep: ``np.correlate(y, x, "full")[L-1+lag]`` equals
+    the per-lag overlap dot product ``sum_m x[m] * y[m+lag]``, which is then
+    normalized by ``(overlap_len - 1) * std(x) * std(y)`` (stds over the
+    full aligned window, the reference's convention).  Lags whose overlap
+    is shorter than 3 samples are excluded; if no admissible lag scores
+    above -1.0 the fallback is (0, -1.0).
+    """
     L = min(len(x), len(y))
-    x = x[:L] - x[:L].mean()
-    y = y[:L] - y[:L].mean()
-    x_std = x.std() + 1e-8
-    y_std = y.std() + 1e-8
-    best_corr, best_lag = -1.0, 0
-    for lag in range(-max_lag, max_lag + 1):
-        if lag < 0:
-            xs, ys = x[-lag:L], y[: L + lag]
-        elif lag > 0:
-            xs, ys = x[: L - lag], y[lag:L]
-        else:
-            xs, ys = x, y
-        if len(xs) < 3:
-            continue
-        corr = float(np.dot(xs, ys) / ((len(xs) - 1) * x_std * y_std))
-        if corr > best_corr:
-            best_corr, best_lag = corr, lag
-    return best_lag, best_corr
+    x = np.asarray(x[:L], dtype=np.float64)
+    y = np.asarray(y[:L], dtype=np.float64)
+    x = x - x.mean()
+    y = y - y.mean()
+    denom_scale = (x.std() + 1e-8) * (y.std() + 1e-8)
+
+    lags = np.arange(-max_lag, max_lag + 1)
+    # full cross-correlation; index L-1+lag picks sum_m x[m] * y[m+lag]
+    dots = np.correlate(y, x, mode="full")[np.clip(L - 1 + lags, 0, 2 * L - 2)]
+    overlap = L - np.abs(lags)
+    corrs = np.where(
+        overlap >= 3,
+        dots / (np.maximum(overlap - 1, 1) * denom_scale),
+        -np.inf,
+    )
+    k = int(np.argmax(corrs))
+    if not np.isfinite(corrs[k]) or corrs[k] <= -1.0:
+        return 0, -1.0
+    return int(lags[k]), float(corrs[k])
 
 
 def estimate_av_sync(
@@ -142,8 +153,8 @@ def main(argv=None):
     lag_s, corr = estimate_av_sync(frames, wav, sr=args.sr, fps=fps,
                                    max_lag_seconds=args.max_lag,
                                    method=args.method)
-    print(f"Estimated lag: {lag_s:+.3f} s  (audio should be delayed if positive)")
-    print(f"Correlation  : {corr:.3f}")
+    print(f"av_sync lag_s={lag_s:+.3f} corr={corr:.3f} "
+          f"(positive lag => delay the audio to align)")
 
 
 if __name__ == "__main__":

@@ -45,10 +45,19 @@ def psnr(ref: np.ndarray, est: np.ndarray, data_range: float = 1.0) -> float:
 
 
 def _uniform_filter2d(x: np.ndarray, size: int) -> np.ndarray:
-    """Valid-mode uniform filter via integral image (fast, no scipy.ndimage)."""
-    from scipy.ndimage import uniform_filter
-
-    return uniform_filter(x, size=size, mode="reflect")
+    """Uniform filter matching scipy.ndimage.uniform_filter(mode='reflect')
+    numerics, computed with an integral image over a symmetric-padded input
+    (no scipy dependency)."""
+    lo = size // 2
+    hi = size - 1 - lo
+    p = np.pad(x.astype(np.float64), ((lo, hi), (lo, hi)), mode="symmetric")
+    ii = np.zeros((p.shape[0] + 1, p.shape[1] + 1), dtype=np.float64)
+    np.cumsum(p, axis=0, out=p)
+    np.cumsum(p, axis=1, out=p)
+    ii[1:, 1:] = p
+    s = (ii[size:, size:] - ii[:-size, size:]
+         - ii[size:, :-size] + ii[:-size, :-size])
+    return s / float(size * size)
 
 
 def ssim(ref: np.ndarray, est: np.ndarray, data_range: float = 1.0,

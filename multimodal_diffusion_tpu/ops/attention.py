@@ -78,6 +78,13 @@ def multi_head_attention(
     if key_padding_mask is not None:
         kbias = padding_bias(key_padding_mask, q.shape[1])
         bias = kbias if bias is None else bias + kbias
+        out = mha_reference(q, k, v, bias)
+        # degenerate all-keys-masked batch element: the finite -1e30 bias
+        # cancels in softmax (uniform attention over pads), while the flash
+        # kernel returns exact zeros — zero here too so the backends agree
+        all_pad = jnp.all(key_padding_mask, axis=-1)  # [B]
+        return jnp.where(all_pad[:, None, None, None], 0.0, out).astype(
+            out.dtype)
     return mha_reference(q, k, v, bias)
 
 

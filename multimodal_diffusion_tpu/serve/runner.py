@@ -100,8 +100,15 @@ class BatchScheduler:
                         # of jax must not strand waiters without an answer
                         for r in batch:
                             r.error = f"{type(e).__name__}: {e}"
-                    for r in batch:
-                        r.done.set()
+                            r.done.set()
+                        if isinstance(e, (KeyboardInterrupt, SystemExit)):
+                            # interpreter-shutdown signals end the loop (the
+                            # finally block drains + fails the rest) rather
+                            # than being swallowed into serving-as-usual
+                            raise
+                    else:
+                        for r in batch:
+                            r.done.set()
                 if not ran:
                     time.sleep(self.poll_s)
         finally:

@@ -111,3 +111,69 @@ def test_av_sync_on_correlated_envelopes():
     a_env = audio_rms_envelope(wav, sr, fps)
     assert v_env.shape[0] == T and a_env.shape[0] == T
     assert abs(float(v_env.mean())) < 1e-5  # z-scored
+
+
+def test_best_lag_and_corr_matches_bruteforce_loop():
+    """The vectorized xcorr must reproduce a per-lag brute-force loop
+    (the reference's algorithm, av_sync.py:164-192) across random inputs,
+    shifts, length mismatches, and max_lag > len edge cases."""
+
+    def brute(x, y, max_lag):
+        L = min(len(x), len(y))
+        x = x[:L] - x[:L].mean()
+        y = y[:L] - y[:L].mean()
+        x_std = x.std() + 1e-8
+        y_std = y.std() + 1e-8
+        best_corr, best_lag = -1.0, 0
+        for lag in range(-max_lag, max_lag + 1):
+            if lag < 0:
+                xs, ys = x[-lag:L], y[: L + lag]
+            elif lag > 0:
+                xs, ys = x[: L - lag], y[lag:L]
+            else:
+                xs, ys = x, y
+            if len(xs) < 3:
+                continue
+            corr = float(np.dot(xs, ys) / ((len(xs) - 1) * x_std * y_std))
+            if corr > best_corr:
+                best_corr, best_lag = corr, lag
+        return best_lag, best_corr
+
+    rng = np.random.default_rng(11)
+    cases = []
+    for n in (7, 40, 128):
+        for m in (n, n + 9):
+            # the reference loop itself crashes for max_lag >= L (negative
+            # python-slice wraparound), so equivalence only covers < L
+            for max_lag in (0, 3, n - 2):
+                x = rng.standard_normal(n).astype(np.float32)
+                y = rng.standard_normal(m).astype(np.float32)
+                cases.append((x, y, max_lag))
+    # plus genuinely shifted signals
+    base = rng.standard_normal(100).astype(np.float32)
+    cases.append((base, np.roll(base, 7), 12))
+    cases.append((np.roll(base, 7), base, 12))
+
+    for x, y, max_lag in cases:
+        lag_v, corr_v = best_lag_and_corr(x, y, max_lag)
+        lag_b, corr_b = brute(x, y, max_lag)
+        assert lag_v == lag_b, (len(x), len(y), max_lag)
+        assert corr_v == pytest.approx(corr_b, rel=1e-5, abs=1e-6)
+
+    # max_lag beyond the signal length: out-of-range lags are inadmissible
+    # (overlap < 3) rather than crashing like the reference loop does
+    x = rng.standard_normal(8).astype(np.float32)
+    lag, corr = best_lag_and_corr(x, np.roll(x, 2), max_lag=50)
+    assert abs(lag) <= 7
+
+
+def test_uniform_filter_matches_scipy():
+    scipy = pytest.importorskip("scipy.ndimage")
+    from multimodal_diffusion_tpu.eval.video_metrics import _uniform_filter2d
+
+    rng = np.random.default_rng(12)
+    for size in (3, 7, 11):
+        x = rng.standard_normal((24, 17))
+        ours = _uniform_filter2d(x, size)
+        ref = scipy.uniform_filter(x, size=size, mode="reflect")
+        np.testing.assert_allclose(ours, ref, rtol=1e-10, atol=1e-10)

@@ -166,3 +166,26 @@ def test_multi_head_attention_mask_dispatch():
     b = mha_reference(q, k, v, padding_bias(kpad, 2))
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_fully_masked_row_agrees_across_backends():
+    """A batch element whose keys are ALL padded returns exact zeros from
+    the flash kernel; the XLA fallback now zeroes it too (ADVICE r2)."""
+    import numpy as np
+
+    from multimodal_diffusion_tpu.ops.attention import multi_head_attention
+
+    rng = np.random.default_rng(0)
+    B, H, N, Dh = 2, 2, 8, 4
+    q, k, v = (jnp.asarray(rng.standard_normal((B, H, N, Dh)), jnp.float32)
+               for _ in range(3))
+    kpad = jnp.zeros((B, N), bool).at[1].set(True)  # element 1 fully masked
+
+    out_xla = multi_head_attention(q, k, v, key_padding_mask=kpad,
+                                   use_flash=False)
+    out_flash = flash_attention_interpret(q, k, v, kpad)
+    assert jnp.all(out_xla[1] == 0.0)
+    assert jnp.all(out_flash[1] == 0.0)
+    # the unmasked element is untouched
+    np.testing.assert_allclose(np.asarray(out_xla[0]),
+                               np.asarray(out_flash[0]), atol=2e-2)

@@ -173,10 +173,11 @@ def test_device_resident_batches(tmp_path):
     assert np.all(np.asarray(b0["has_video"]) == 1.0)
     # leading axis is sharded over 'data'
     assert len(b0["video"].sharding.device_set) == 2
-    # second batch wraps deterministically in no-shuffle mode
+    # the partial tail (clips 4-5) is dropped in no-shuffle mode too
+    # (same epoch semantics as shuffle / DataLoader drop_last, ADVICE r2):
+    # the second batch restarts at clip 0 instead of wrapping mid-batch
     b1 = next(gen)
-    np.testing.assert_array_equal(np.asarray(b1["video"]),
-                                  vids[[4, 5, 0, 1]])
+    np.testing.assert_array_equal(np.asarray(b1["video"]), vids[:4])
     # shard_batch must pass device arrays through without a host round-trip
     from multimodal_diffusion_tpu.parallel.sharding import shard_batch
     out = shard_batch(mesh, b0)

@@ -32,6 +32,12 @@ def main(argv=None):
     ap.add_argument("--max-steps", type=int, default=None)
     ap.add_argument("--tag", type=str, default="ref",
                     help="suffix for the run dirs (keeps ours/theirs apart)")
+    ap.add_argument("--resume", type=str, default=None,
+                    help="checkpoint .pt to warm-start from (the reference "
+                         "trainer itself has no resume path, SURVEY §5; this "
+                         "restores module/opt/EMA/step state around it)")
+    ap.add_argument("--ckpt-every", type=int, default=None)
+    ap.add_argument("--log-every", type=int, default=None)
     args = ap.parse_args(argv)
 
     sys.path.insert(0, str(REPO / "tools" / "ref_shims"))
@@ -59,6 +65,10 @@ def main(argv=None):
             "parity_tiny", f"parity_tiny_{args.tag}")
     if args.max_steps is not None:
         cfg["training"]["max_steps"] = int(args.max_steps)
+    if args.ckpt_every is not None:
+        cfg["training"]["ckpt_every"] = int(args.ckpt_every)
+    if args.log_every is not None:
+        cfg["training"]["log_every"] = int(args.log_every)
 
     merged = REPO / "runs" / f"parity_tiny_{args.tag}" / "config.yaml"
     merged.parent.mkdir(parents=True, exist_ok=True)
@@ -86,6 +96,18 @@ def main(argv=None):
 
     trainer = AVTrainer(cfg=cfg, dataset_train=train_ds, dataset_val=None,
                         rank=0, world_size=1)
+    if args.resume:
+        state = torch.load(args.resume, map_location="cpu", weights_only=False)
+        for name in ("core", "head", "adapt_v", "adapt_a",
+                     "vid_vae", "aud_codec"):
+            getattr(trainer, name).load_state_dict(state[name])
+        trainer.opt.load_state_dict(state["opt"])
+        if trainer.ema is not None and "ema" in state:
+            trainer.ema.shadow = {k: v.clone()
+                                  for k, v in state["ema"].items()}
+        trainer.state.step = int(state["step"])
+        print(f"[ref-train] resumed from {args.resume} @ step "
+              f"{trainer.state.step}")
     max_steps = int(cfg["training"]["max_steps"])
     while trainer.state.step < max_steps:
         trainer.train_one()
