@@ -50,6 +50,12 @@ RULES: List[Rule] = [
     ("sampling.prompt_modality", lambda v: v in {"video", "audio"},
      "prompt_modality must be video|audio"),
     ("parallel.model", lambda v: int(v) >= 1, "parallel.model must be >= 1"),
+    ("diffusion.video.param", lambda v: v in {"eps", "x0", "v"},
+     "diffusion.*.param must be eps|x0|v"),
+    ("diffusion.audio.param", lambda v: v in {"eps", "x0", "v"},
+     "diffusion.*.param must be eps|x0|v"),
+    ("video.arch", lambda v: v in {"conv", "patch"},
+     "video.arch must be conv|patch"),
 ]
 
 CROSS_RULES = [
@@ -71,6 +77,21 @@ CROSS_RULES = [
     (lambda c: int(_get(c, "model.core.d_model"))
      % int(_get(c, "model.core.n_heads")) == 0,
      "d_model must be divisible by n_heads"),
+    (lambda c: not _get(c, "conditioning.mouth_crop.enabled") or (
+        0 <= int(_get(c, "conditioning.mouth_crop.box")[0])
+        < int(_get(c, "conditioning.mouth_crop.box")[1])
+        <= int(_get(c, "video.size")[0])
+        and 0 <= int(_get(c, "conditioning.mouth_crop.box")[2])
+        < int(_get(c, "conditioning.mouth_crop.box")[3])
+        <= int(_get(c, "video.size")[1])
+        and (int(_get(c, "conditioning.mouth_crop.box")[1])
+             - int(_get(c, "conditioning.mouth_crop.box")[0]))
+        % int(_get(c, "conditioning.mouth_crop.tube.h") or 8) == 0
+        and (int(_get(c, "conditioning.mouth_crop.box")[3])
+             - int(_get(c, "conditioning.mouth_crop.box")[2]))
+        % int(_get(c, "conditioning.mouth_crop.tube.w") or 8) == 0),
+     "conditioning.mouth_crop.box must lie inside video.size and divide "
+     "its tube h/w"),
 ]
 
 

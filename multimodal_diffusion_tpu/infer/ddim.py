@@ -38,11 +38,23 @@ def make_ddim_sampler(
     alpha_bar: np.ndarray,  # [T] for the TARGET modality
     guidance_scale: float,
     eta: float = 0.0,
+    param: str = "eps",
 ):
-    """Returns sample(params, z_prompt, z_init, rng) -> final target latent.
+    """Returns sample(params, z_prompt, z_init, rng, tok_mouth) -> final
+    target latent.
 
     z_prompt: clean prompt latent (video latent if target=="audio", else
     audio latent).  z_init: N(0, I) target latent.  Everything shape-static.
+
+    `param` is the TARGET modality's prediction parameterization (the CFG
+    combine g*(cond-null)+null is linear, so it applies in any of the three
+    spaces; S.ddim_step converts to the (x0, eps) pair).
+
+    `tok_mouth` (v2a with conditioning.mouth_crop enabled): raw mouth-crop
+    tokens from model.mouth_tokens(frames), constant across steps so hoisted
+    out of the scan with the prompt; zeroed on the null half like the
+    prompt.  For a2v with the stream enabled, zero tokens are injected so
+    the sequence layout matches training's dropped-mouth state.
     """
     if target not in {"audio", "video"}:
         raise ValueError("target must be 'audio' or 'video'")
@@ -54,7 +66,8 @@ def make_ddim_sampler(
     g = float(guidance_scale)
 
     def sample(params, z_prompt: jnp.ndarray, z_init: jnp.ndarray,
-               rng: Optional[jax.Array] = None) -> jnp.ndarray:
+               rng: Optional[jax.Array] = None,
+               tok_mouth: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         B = z_init.shape[0]
         var = {"params": params}
 
@@ -64,11 +77,13 @@ def make_ddim_sampler(
             t, h, w = model.cfg.tube
             grid = (z_prompt.shape[2] // t, z_prompt.shape[3] // h,
                     z_prompt.shape[4] // w)
+            T_frames = z_prompt.shape[2] * model.cfg.vae.t_down
         else:
             tok_prompt = model.apply(var, z_prompt, method=model.tokenize_audio)
             t, h, w = model.cfg.tube
             grid = (z_init.shape[2] // t, z_init.shape[3] // h,
                     z_init.shape[4] // w)
+            T_frames = z_init.shape[2] * model.cfg.vae.t_down
         tok_prompt2 = jnp.concatenate([tok_prompt, tok_prompt], axis=0)
 
         # CFG keep-masks: first half = cond (keep prompt), second = null.
@@ -77,6 +92,26 @@ def make_ddim_sampler(
         )
         keep_target = jnp.ones((2 * B,), jnp.float32)
         t_zero = jnp.zeros((2 * B,), jnp.int32)
+
+        mouth_kw = {}
+        if model.cfg.mouth_enabled:
+            mt, mh, mw = model.cfg.mouth_tube
+            ch, cw = model.cfg.mouth_crop_hw
+            mgrid = (T_frames // mt, ch // mh, cw // mw)
+            Nm = mgrid[0] * mgrid[1] * mgrid[2]
+            if tok_mouth is None:
+                # a2v (or v2a without frames): zero tokens = the trained
+                # dropped-mouth state, keeping the sequence layout identical
+                tok_mouth = jnp.zeros(
+                    (B, Nm, model.cfg.token_dim_mouth), jnp.float32)
+                keep_m2 = jnp.zeros((2 * B,), jnp.float32)
+            else:
+                keep_m2 = keep_prompt
+            mouth_kw = {
+                "tok_m": jnp.concatenate([tok_mouth, tok_mouth], axis=0),
+                "keep_m": keep_m2,
+                "mouth_grid": mgrid,
+            }
 
         if rng is None:
             rng = jax.random.PRNGKey(0)
@@ -92,7 +127,7 @@ def make_ddim_sampler(
                 out = model.apply(
                     var, tok_prompt2, tok_tgt2, t_zero, t_tgt, grid,
                     keep_prompt, keep_target, True,
-                    method=model.denoise_tokens,
+                    method=model.denoise_tokens, **mouth_kw,
                 )
                 eps_tok = out["eps_a"]
             else:
@@ -101,7 +136,7 @@ def make_ddim_sampler(
                 out = model.apply(
                     var, tok_tgt2, tok_prompt2, t_tgt, t_zero, grid,
                     keep_target, keep_prompt, True,
-                    method=model.denoise_tokens,
+                    method=model.denoise_tokens, **mouth_kw,
                 )
                 eps_tok = out["eps_v"]
 
@@ -121,9 +156,10 @@ def make_ddim_sampler(
             if eta > 0.0:
                 noise = jax.random.normal(sub, z.shape, jnp.float32)
                 z_next = S.ddim_step(z, tb, pb, eps_lat, abar, eta=eta,
-                                     noise=noise)
+                                     noise=noise, param=param)
             else:
-                z_next = S.ddim_step(z, tb, pb, eps_lat, abar, eta=0.0)
+                z_next = S.ddim_step(z, tb, pb, eps_lat, abar, eta=0.0,
+                                     param=param)
             return (z_next, key), None
 
         (z_final, _), _ = jax.lax.scan(step, (z_init, rng), sched_pairs)
@@ -151,6 +187,6 @@ def sampler_from_config(
     eta = float(cfg["sampling"].get("ddim_eta", 0.0))
     sample = make_ddim_sampler(
         model, target=target, sched=sched, alpha_bar=abar,
-        guidance_scale=guide, eta=eta,
+        guidance_scale=guide, eta=eta, param=str(dc.get("param", "eps")),
     )
     return jax.jit(sample), sched

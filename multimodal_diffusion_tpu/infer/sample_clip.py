@@ -208,7 +208,13 @@ def sample_one_direction(
         rng, k = jax.random.split(rng)
         z_init = jax.random.normal(k, (B, Ca, Fa), jnp.float32)
         sample = get_sampler(model, cfg, target="audio")
-        z_a = sample(params, z_v0, z_init, rng)
+        if model.cfg.mouth_enabled:
+            # lipreading stream: raw-pixel mouth-crop tokens ride along as
+            # extra conditioning (hoisted out of the scan by the sampler)
+            tok_m = model.apply(var, frames, method=model.mouth_tokens)
+            z_a = sample(params, z_v0, z_init, rng, tok_m)
+        else:
+            z_a = sample(params, z_v0, z_init, rng)
         wav = model.apply(var, z_a, method=model.decode_audio)
         wav = np.asarray(jax.device_get(wav), np.float32)[:, 0]  # [B,L]
         return {"audio": wav if batched else wav[0], "sr": sr}

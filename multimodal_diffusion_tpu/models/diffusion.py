@@ -65,6 +65,19 @@ class AVDiffusionConfig:
     use_modality_embed: bool = True
     posenc_video: str = "learned_3d"  # "learned_3d" | "sin" | "none"
     posenc_audio: str = "learned_1d"  # "learned_1d" | "sin" | "none"
+    # prediction parameterization per modality: "eps" (reference convention)
+    # | "x0" | "v" — config keys diffusion.{video,audio}.param
+    param_v: str = "eps"
+    param_a: str = "eps"
+    # mouth-crop conditioning stream (conditioning.mouth_crop.*): a second,
+    # VAE-free video conditioning path — raw pixels from a fixed mouth-region
+    # box are tube-patched directly into extra conditioning tokens
+    # (lipreading-grade signal for the silent-video -> speech task).  The
+    # tokens are pure conditioning: active only when video is the
+    # conditioning modality, zeroed under CFG drop, ignored by the heads.
+    mouth_enabled: bool = False
+    mouth_box: Tuple[int, int, int, int] = (64, 112, 32, 96)  # h0, h1, w0, w1
+    mouth_tube: Tuple[int, int, int] = (2, 8, 8)  # (t, h, w) on PIXELS
     dtype: Any = jnp.float32
 
     @classmethod
@@ -76,6 +89,8 @@ class AVDiffusionConfig:
         heads = cfg["model"]["heads"]
         emb = cfg.get("embeddings", {})
         posenc = emb.get("posenc", {})
+        mouth = (cfg.get("conditioning", {}) or {}).get("mouth_crop", {}) or {}
+        mtube = mouth.get("tube", {}) or {}
         # sequence parallelism: `parallel.context > 1` routes the MMDiT
         # through ring attention over the mesh's 'context' axis
         core_extra = {}
@@ -104,6 +119,13 @@ class AVDiffusionConfig:
             use_modality_embed=bool(emb.get("use_modality_embed", True)),
             posenc_video=str(posenc.get("video", "learned_3d")),
             posenc_audio=str(posenc.get("audio", "learned_1d")),
+            param_v=str(cfg["diffusion"]["video"].get("param", "eps")),
+            param_a=str(cfg["diffusion"]["audio"].get("param", "eps")),
+            mouth_enabled=bool(mouth.get("enabled", False)),
+            mouth_box=tuple(int(x) for x in mouth.get(
+                "box", (64, 112, 32, 96))),
+            mouth_tube=(int(mtube.get("t", 2)), int(mtube.get("h", 8)),
+                        int(mtube.get("w", 8))),
             dtype=dtype,
         )
 
@@ -116,6 +138,16 @@ class AVDiffusionConfig:
     def token_dim_audio(self) -> int:
         return self.codec.lat_ch * self.chunk[0]
 
+    @property
+    def token_dim_mouth(self) -> int:
+        t, h, w = self.mouth_tube
+        return 3 * t * h * w
+
+    @property
+    def mouth_crop_hw(self) -> Tuple[int, int]:
+        h0, h1, w0, w1 = self.mouth_box
+        return (h1 - h0, w1 - w0)
+
 
 class _Embeddings(nn.Module):
     """Modality + positional embeddings, grouped under one param key."""
@@ -124,8 +156,11 @@ class _Embeddings(nn.Module):
 
     def setup(self):
         c = self.cfg
+        mods = ("video", "audio", "mouth") if c.mouth_enabled else (
+            "video", "audio")
         if c.use_modality_embed:
-            self.modality = ModalityEmbedding(c.width, dtype=c.dtype)
+            self.modality = ModalityEmbedding(c.width, modalities=mods,
+                                              dtype=c.dtype)
         if c.posenc_video != "none":
             self.pos_v = PositionalEmbedding3D(
                 c.width,
@@ -138,6 +173,19 @@ class _Embeddings(nn.Module):
                 mode="learned" if c.posenc_audio.startswith("learned") else "sin",
                 dtype=c.dtype,
             )
+        if c.mouth_enabled:
+            self.pos_m = PositionalEmbedding3D(
+                c.width,
+                mode="learned" if c.posenc_video.startswith("learned") else "sin",
+                dtype=c.dtype,
+            )
+
+    def mouth(self, Xm: jnp.ndarray,
+              grid_m: Tuple[int, int, int]) -> jnp.ndarray:
+        c = self.cfg
+        if c.use_modality_embed:
+            Xm = self.modality(Xm, "mouth")
+        return Xm + self.pos_m(*grid_m)
 
     def __call__(
         self, Xv: jnp.ndarray, Xa: jnp.ndarray, video_grid: Tuple[int, int, int]
@@ -162,6 +210,8 @@ class AVDiffusionModel(nn.Module):
         self.aud_codec = AudioCodec(c.codec)
         self.adapt_v = LinearAdapter(c.width, dtype=c.dtype)
         self.adapt_a = LinearAdapter(c.width, dtype=c.dtype)
+        if c.mouth_enabled:
+            self.adapt_m = LinearAdapter(c.width, dtype=c.dtype)
         self.embed = _Embeddings(c)
         self.core = MMDiT(c.core)
         self.head = MultiModalNoiseHead(
@@ -208,6 +258,25 @@ class AVDiffusionModel(nn.Module):
         _, C, F = latent_shape
         return tk.audio_latent_from_tokens(tok, C, l, F, s)
 
+    def mouth_tokens(self, video: jnp.ndarray) -> jnp.ndarray:
+        """Raw pixels [B, 3, T, H, W] -> mouth-crop tokens [B, Nm, Dm].
+
+        Crops cfg.mouth_box from each frame and tube-patches the PIXELS
+        (no VAE in this path: the spatial bottleneck that costs the main
+        stream its lip detail is exactly what this stream exists to avoid).
+        Pixel values are shifted to [-0.5, 0.5] so zero = CFG-dropped."""
+        c = self.cfg
+        h0, h1, w0, w1 = c.mouth_box
+        crop = video[:, :, :, h0:h1, w0:w1] - 0.5
+        t, h, w = c.mouth_tube
+        return tk.tube_patch_video(crop, t, h, w)
+
+    def mouth_grid(self, T: int) -> Tuple[int, int, int]:
+        c = self.cfg
+        t, h, w = c.mouth_tube
+        ch, cw = c.mouth_crop_hw
+        return (T // t, ch // h, cw // w)
+
     # ------------------ denoiser ------------------
 
     def embed_tokens(
@@ -219,12 +288,16 @@ class AVDiffusionModel(nn.Module):
         video_grid: Tuple[int, int, int],
         keep_v: Optional[jnp.ndarray] = None,  # [B] 0/1 CFG keep multipliers
         keep_a: Optional[jnp.ndarray] = None,
+        tok_m: Optional[jnp.ndarray] = None,  # [B, Nm, Dm] mouth-crop tokens
+        keep_m: Optional[jnp.ndarray] = None,
+        mouth_grid: Optional[Tuple[int, int, int]] = None,
     ) -> Tuple[jnp.ndarray, int]:
         """Project + embed + timestep-ADD + CFG keep-mask; returns (X, Nv).
 
         The keep multiplier is applied AFTER all embeddings, matching the
         reference's zeroing of fully-embedded tokens (trainer.py:341-349,
-        sample_clip.py:338,377)."""
+        sample_clip.py:338,377).  Mouth tokens (if the stream is enabled and
+        provided) are appended after audio; heads never see them."""
         c = self.cfg
         Xv = self.adapt_v(tok_v)
         Xa = self.adapt_a(tok_a)
@@ -237,7 +310,20 @@ class AVDiffusionModel(nn.Module):
             Xv = Xv * keep_v.astype(Xv.dtype)[:, None, None]
         if keep_a is not None:
             Xa = Xa * keep_a.astype(Xa.dtype)[:, None, None]
-        return jnp.concatenate([Xv, Xa], axis=1), Xv.shape[1]
+        parts = [Xv, Xa]
+        if tok_m is not None:
+            if not c.mouth_enabled:
+                raise ValueError("mouth tokens passed but conditioning."
+                                 "mouth_crop.enabled is false")
+            Xm = self.adapt_m(tok_m)
+            Xm = self.embed.mouth(Xm, mouth_grid)
+            # clean conditioning: embedded at t=0 like the frozen prompt
+            Xm = Xm + timestep_embedding(
+                jnp.zeros_like(t_v), c.width).astype(Xm.dtype)[:, None, :]
+            if keep_m is not None:
+                Xm = Xm * keep_m.astype(Xm.dtype)[:, None, None]
+            parts.append(Xm)
+        return jnp.concatenate(parts, axis=1), Xv.shape[1]
 
     def denoise_tokens(
         self,
@@ -249,12 +335,19 @@ class AVDiffusionModel(nn.Module):
         keep_v: Optional[jnp.ndarray] = None,
         keep_a: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
+        tok_m: Optional[jnp.ndarray] = None,
+        keep_m: Optional[jnp.ndarray] = None,
+        mouth_grid: Optional[Tuple[int, int, int]] = None,
     ) -> Dict[str, jnp.ndarray]:
-        """Full denoiser pass; returns eps-hats and contextualized features
-        {'eps_v', 'eps_a', 'h_v', 'h_a'} (h_* feed the alignment loss)."""
-        X, Nv = self.embed_tokens(tok_v, tok_a, t_v, t_a, video_grid, keep_v, keep_a)
+        """Full denoiser pass; returns predictions and contextualized features
+        {'eps_v', 'eps_a', 'h_v', 'h_a'} (h_* feed the alignment loss).
+        eps_* are the model outputs under cfg.param_{v,a} (eps by default).
+        Mouth tokens attend in the core but have no head output."""
+        X, Nv = self.embed_tokens(tok_v, tok_a, t_v, t_a, video_grid,
+                                  keep_v, keep_a, tok_m, keep_m, mouth_grid)
+        Na = tok_a.shape[1]
         H = self.core(X, deterministic=deterministic)
-        Hv, Ha = H[:, :Nv, :], H[:, Nv:, :]
+        Hv, Ha = H[:, :Nv, :], H[:, Nv : Nv + Na, :]
         eps = self.head({"video": Hv, "audio": Ha}, deterministic=deterministic)
         return {"eps_v": eps["video"], "eps_a": eps["audio"], "h_v": Hv, "h_a": Ha}
 
@@ -297,13 +390,19 @@ class AVDiffusionModel(nn.Module):
         keep_v: Optional[jnp.ndarray] = None,
         keep_a: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
+        keep_m: Optional[jnp.ndarray] = None,
     ) -> Dict[str, jnp.ndarray]:
         """End-to-end training forward: encode -> q_sample -> denoise.
 
         Used for module init and by train/trainer.py; returns token-space
-        eps-hats AND token-space true eps (the loss lives in token space like
-        the reference, trainer.py:317-370)."""
-        from ..ops.schedule import q_sample
+        predictions AND token-space targets under cfg.param_{v,a} (the loss
+        lives in token space like the reference, trainer.py:317-370).
+
+        If the mouth-crop stream is enabled, tokens are cut from the CLEAN
+        input pixels; pass keep_m (normally (1-target_is_video) * keep) so
+        the stream is zeroed whenever video is the target (it would leak the
+        denoising target) or video conditioning is CFG-dropped."""
+        from ..ops.schedule import prediction_target, q_sample
 
         z_v0 = self.encode_video(video)
         z_a0 = self.encode_audio(audio)
@@ -317,11 +416,26 @@ class AVDiffusionModel(nn.Module):
         z_at, eps_a = q_sample(z_a0, t_a, alpha_bar_a, eps=noise_a)
         t, h, w = self.cfg.tube
         grid = (z_vt.shape[2] // t, z_vt.shape[3] // h, z_vt.shape[4] // w)
+        tok_m = mgrid = None
+        if self.cfg.mouth_enabled:
+            tok_m = self.mouth_tokens(video)
+            # grid from the ACTUAL crop extent (the box clips to the frame,
+            # e.g. under the trainer's minimal-shape init)
+            h0, h1, w0, w1 = self.cfg.mouth_box
+            mt_, mh_, mw_ = self.cfg.mouth_tube
+            ch = min(h1, video.shape[3]) - min(h0, video.shape[3])
+            cw = min(w1, video.shape[4]) - min(w0, video.shape[4])
+            mgrid = (video.shape[2] // mt_, ch // mh_, cw // mw_)
+            if keep_m is None:
+                keep_m = jnp.zeros((video.shape[0],), jnp.float32)
         out = self.denoise_tokens(
             self.tokenize_video(z_vt),
             self.tokenize_audio(z_at),
             t_v, t_a, grid, keep_v, keep_a, deterministic,
+            tok_m=tok_m, keep_m=keep_m, mouth_grid=mgrid,
         )
-        out["eps_true_v"] = self.tokenize_video(eps_v)
-        out["eps_true_a"] = self.tokenize_audio(eps_a)
+        out["eps_true_v"] = self.tokenize_video(
+            prediction_target(z_v0, eps_v, t_v, alpha_bar_v, self.cfg.param_v))
+        out["eps_true_a"] = self.tokenize_audio(
+            prediction_target(z_a0, eps_a, t_a, alpha_bar_a, self.cfg.param_a))
         return out

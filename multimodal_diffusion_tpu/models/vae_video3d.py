@@ -41,6 +41,16 @@ class VideoVAEConfig:
     dec_blocks: int = 2
     variational: bool = False
     out_activation: str = "sigmoid"  # "sigmoid" | "tanh"
+    # "conv" = the reference architecture (full-res conv blocks + avg-pool,
+    # vae_video3d.py:79-160); "patch" = MXU-first tubelet embedding: one
+    # Dense over non-overlapping (t_down, s_down, s_down) patches + conv
+    # mixing at LATENT resolution.  The conv encoder spends ~97% of its
+    # FLOPs convolving 64 channels at full 48x128x128 before any
+    # downsampling (measured 58 ms of a 143 ms AV train step, PERFORMANCE
+    # "AV train-step decomposition"); the patch encoder does the same
+    # downsampling as a single tile-aligned matmul.
+    arch: str = "conv"  # "conv" | "patch"
+    hidden: int = 0  # patch-arch channel width (0 -> 2 * enc_base)
     dtype: Any = jnp.float32
 
     @classmethod
@@ -60,9 +70,19 @@ class VideoVAEConfig:
             dec_blocks=int(dec.get("blocks", 2)),
             variational=bool(d.get("variational", False)),
             out_activation=str(d.get("out_activation", "sigmoid")),
+            arch=str(d.get("arch", enc.get("arch", "conv"))),
+            hidden=int(enc.get("hidden", 0)),
         )
         kw.update(overrides)
         return cls(**kw)
+
+    @property
+    def patch_hidden(self) -> int:
+        return self.hidden if self.hidden > 0 else 2 * self.enc_base
+
+    @property
+    def patch_dim(self) -> int:
+        return self.t_down * self.s_down * self.s_down * self.in_ch
 
 
 class ConvBlock3D(nn.Module):
@@ -95,23 +115,64 @@ class VideoVAE(nn.Module):
 
     def setup(self):
         c = self.cfg
-        self.enc_net = [
-            ConvBlock3D(c.enc_base, c.dtype, name=f"enc_{i}")
-            for i in range(c.enc_blocks)
-        ]
+        if c.arch not in ("conv", "patch"):
+            raise ValueError(f"VideoVAE arch must be 'conv'|'patch', got {c.arch!r}")
+        if c.arch == "patch":
+            hid = c.patch_hidden
+            self.patch_embed = nn.Dense(hid, dtype=c.dtype,
+                                        param_dtype=jnp.float32,
+                                        name="patch_embed")
+            self.patch_norm = nn.LayerNorm(dtype=c.dtype,
+                                           param_dtype=jnp.float32,
+                                           name="patch_norm")
+            self.enc_net = [
+                ConvBlock3D(hid, c.dtype, name=f"enc_{i}")
+                for i in range(c.enc_blocks)
+            ]
+            dec_width = hid
+        else:
+            self.enc_net = [
+                ConvBlock3D(c.enc_base, c.dtype, name=f"enc_{i}")
+                for i in range(c.enc_blocks)
+            ]
+            dec_width = c.dec_base
         if c.variational:
             self.to_mu = _conv1x1(c.lat_ch, c.dtype, "to_mu")
             self.to_logv = _conv1x1(c.lat_ch, c.dtype, "to_logv")
         else:
             self.to_lat = _conv1x1(c.lat_ch, c.dtype, "to_lat")
-        self.from_lat = _conv1x1(c.dec_base, c.dtype, "from_lat")
+        self.from_lat = _conv1x1(dec_width, c.dtype, "from_lat")
         self.dec_net = [
-            ConvBlock3D(c.dec_base, c.dtype, name=f"dec_{i}")
+            ConvBlock3D(dec_width, c.dtype, name=f"dec_{i}")
             for i in range(c.dec_blocks)
         ]
-        self.to_img = _conv1x1(c.in_ch, c.dtype, "to_img")
+        if c.arch == "patch":
+            self.unpatch_proj = nn.Dense(c.patch_dim, dtype=c.dtype,
+                                         param_dtype=jnp.float32,
+                                         name="unpatch_proj")
+        else:
+            self.to_img = _conv1x1(c.in_ch, c.dtype, "to_img")
 
     # -------------------- helpers --------------------
+
+    def _patchify(self, h: jnp.ndarray) -> jnp.ndarray:
+        """NDHWC [B,T,H,W,C] -> [B, T', H', W', t_down*s_down*s_down*C]
+        (non-overlapping tubelets; pure layout change for XLA)."""
+        c = self.cfg
+        B, T, H, W, C = h.shape
+        td, sd = c.t_down, c.s_down
+        h = h.reshape(B, T // td, td, H // sd, sd, W // sd, sd, C)
+        h = h.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+        return h.reshape(B, T // td, H // sd, W // sd, td * sd * sd * C)
+
+    def _unpatchify(self, h: jnp.ndarray) -> jnp.ndarray:
+        """[B, T', H', W', td*sd*sd*C] -> NDHWC [B, T, H, W, C]."""
+        c = self.cfg
+        B, Tp, Hp, Wp, _ = h.shape
+        td, sd, C = c.t_down, c.s_down, c.in_ch
+        h = h.reshape(B, Tp, Hp, Wp, td, sd, sd, C)
+        h = h.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+        return h.reshape(B, Tp * td, Hp * sd, Wp * sd, C)
 
     def _center_crop(self, x: jnp.ndarray) -> jnp.ndarray:
         """Center-crop [B,C,T,H,W] so dims divide the downsample factors
@@ -148,13 +209,19 @@ class VideoVAE(nn.Module):
         c = self.cfg
         x = self._center_crop(x)
         h = x.transpose(0, 2, 3, 4, 1).astype(c.dtype)  # -> NDHWC
-        for blk in self.enc_net:
-            h = blk(h)
-        h = nn.avg_pool(
-            h,
-            window_shape=(c.t_down, c.s_down, c.s_down),
-            strides=(c.t_down, c.s_down, c.s_down),
-        )
+        if c.arch == "patch":
+            h = self.patch_norm(self.patch_embed(self._patchify(h)))
+            h = nn.gelu(h, approximate=False)
+            for blk in self.enc_net:
+                h = blk(h)
+        else:
+            for blk in self.enc_net:
+                h = blk(h)
+            h = nn.avg_pool(
+                h,
+                window_shape=(c.t_down, c.s_down, c.s_down),
+                strides=(c.t_down, c.s_down, c.s_down),
+            )
         kld = None
         if c.variational:
             mu = self.to_mu(h)
@@ -190,10 +257,19 @@ class VideoVAE(nn.Module):
             T, H, W = Tp * c.t_down, Hp * c.s_down, Wp * c.s_down
         else:
             T, H, W = out_size
-        h = jax.image.resize(h, (B, T, H, W, h.shape[-1]), method="trilinear")
-        for blk in self.dec_net:
-            h = blk(h)
-        x = self.to_img(h)
+        if c.arch == "patch":
+            for blk in self.dec_net:
+                h = blk(h)
+            x = self._unpatchify(self.unpatch_proj(h))
+            if x.shape[1:4] != (T, H, W):  # rare variable-size path
+                x = jax.image.resize(x, (B, T, H, W, x.shape[-1]),
+                                     method="trilinear")
+        else:
+            h = jax.image.resize(h, (B, T, H, W, h.shape[-1]),
+                                 method="trilinear")
+            for blk in self.dec_net:
+                h = blk(h)
+            x = self.to_img(h)
         x = nn.sigmoid(x) if c.out_activation == "sigmoid" else nn.tanh(x)
         return x.transpose(0, 4, 1, 2, 3)
 

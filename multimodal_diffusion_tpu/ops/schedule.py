@@ -134,6 +134,29 @@ def q_sample(
     return x_t.astype(x0.dtype), eps.astype(x0.dtype)
 
 
+def prediction_target(
+    x0: jnp.ndarray,
+    eps: jnp.ndarray,
+    t: jnp.ndarray,
+    alpha_bar: jnp.ndarray,
+    param: str = "eps",
+) -> jnp.ndarray:
+    """The regression target for a model predicting under `param`:
+    "eps" -> eps, "x0" -> x0, "v" -> sqrt(a_bar) eps - sqrt(1-a_bar) x0.
+    Computed in fp32, returned in x0.dtype."""
+    if param == "eps":
+        return eps
+    if param == "x0":
+        return x0
+    if param == "v":
+        a_bar_t = _bcast_gather(alpha_bar, t, x0.ndim)
+        v = (jnp.sqrt(a_bar_t) * eps.astype(jnp.float32)
+             - jnp.sqrt(jnp.clip(1.0 - a_bar_t, 0.0, None))
+             * x0.astype(jnp.float32))
+        return v.astype(x0.dtype)
+    raise ValueError(f"param must be 'eps'|'x0'|'v', got {param!r}")
+
+
 # ---------------------------------------------------------------------------
 # DDIM reverse step
 # ---------------------------------------------------------------------------
@@ -150,6 +173,7 @@ def ddim_step(
     *,
     key: Optional[jax.Array] = None,
     clip_x0: Optional[Tuple[float, float]] = None,
+    param: str = "eps",
 ) -> jnp.ndarray:
     """One DDIM update x_{t_prev} <- x_t (x0-prediction form).
 
@@ -160,6 +184,12 @@ def ddim_step(
     a_bar(-1) := 1 for the final step (t_prev == -1); clamp constants match the
     reference (schedule_utils.py:146-200).  `eta` is a static Python float, so
     the eta == 0 branch compiles away entirely.
+
+    `param` selects the model-output parameterization `eps_hat` is expressed
+    in: "eps" (the reference's convention), "x0" (direct denoised estimate —
+    useful for low-SNR-dominated targets like speech audio), or "v"
+    (v = sqrt(a) eps - sqrt(1-a) x0, Salimans & Ho 2022).  The update itself
+    is identical — the prediction is converted to the (x0, eps) pair.
     """
     xdtype = x_t.dtype
     x_t = x_t.astype(jnp.float32)
@@ -174,7 +204,16 @@ def ddim_step(
     sqrt_omb_t = jnp.sqrt(jnp.clip(1.0 - a_t, 0.0, None))
     sqrt_a_prev = jnp.sqrt(a_prev)
 
-    x0_pred = (x_t - sqrt_omb_t * eps_hat) / jnp.clip(sqrt_a_t, 1e-8, None)
+    if param == "eps":
+        x0_pred = (x_t - sqrt_omb_t * eps_hat) / jnp.clip(sqrt_a_t, 1e-8, None)
+    elif param == "x0":
+        x0_pred = eps_hat
+        eps_hat = (x_t - sqrt_a_t * x0_pred) / jnp.clip(sqrt_omb_t, 1e-4, None)
+    elif param == "v":
+        x0_pred = sqrt_a_t * x_t - sqrt_omb_t * eps_hat
+        eps_hat = sqrt_omb_t * x_t + sqrt_a_t * eps_hat
+    else:
+        raise ValueError(f"param must be 'eps'|'x0'|'v', got {param!r}")
     if clip_x0 is not None:
         # clip the denoised estimate to the data range (standard for
         # pixel-space sampling: at large t, 1/sqrt(a_bar) amplifies epsilon

@@ -134,6 +134,17 @@ def minimal_init_shapes(cfg: Dict) -> Dict[str, Tuple[int, ...]]:
     T = td * int(tube["t"])
     H = sd * int(tube["h"])
     W = sd * int(tube["w"])
+    mouth = (cfg.get("conditioning", {}) or {}).get("mouth_crop", {}) or {}
+    if mouth.get("enabled", False):
+        # frames must contain the mouth box (and T divide its tube) so the
+        # init-time crop matches the real token layout
+        h0, h1, w0, w1 = (int(x) for x in mouth.get("box", (64, 112, 32, 96)))
+        mt = int((mouth.get("tube", {}) or {}).get("t", 2))
+        unit_h, unit_w = sd * int(tube["h"]), sd * int(tube["w"])
+        H = max(H, -(-h1 // unit_h) * unit_h)
+        W = max(W, -(-w1 // unit_w) * unit_w)
+        while T % mt:
+            T += td * int(tube["t"])
     L = max(Fa, int(cfg["tokenizer"]["audio"]["chunk"]["length"]) * Fa // 4 + Fa)
     return {
         "video": (1, 3, T, H, W),
@@ -210,6 +221,10 @@ def build_train_step(
         w_v = target_is_video.astype(jnp.float32)
         keep_v = w_v * 1.0 + (1.0 - w_v) * keep_nontarget  # video kept if target
         keep_a = w_v * keep_nontarget + (1.0 - w_v) * 1.0
+        # mouth-crop stream (if enabled): clean-video conditioning — active
+        # only when video is the CONDITIONING modality (else it would leak
+        # the target), dropped together with video conditioning under CFG
+        keep_m = (1.0 - w_v) * keep_nontarget
 
         def loss_fn(params):
             out = model.apply(
@@ -225,6 +240,7 @@ def build_train_step(
                 keep_v,
                 keep_a,
                 deterministic=False,
+                keep_m=keep_m,
                 rngs={"dropout": k_dropout, "vae": k_vae},
             )
             loss_main = mse_targets_only(
@@ -290,14 +306,16 @@ def build_eval_step(
         B = video.shape[0]
         t_v = jax.random.randint(k_tv, (B,), 0, T_v)
         t_a = jax.random.randint(k_ta, (B,), 0, T_a)
+        noise_v = jax.random.normal(k_nv, z_video_shape, jnp.float32)
+        noise_a = jax.random.normal(k_na, z_audio_shape, jnp.float32)
         out = model.apply(
             {"params": params},
             video,
             batch["audio"],
             t_v,
             t_a,
-            jax.random.normal(k_nv, z_video_shape, jnp.float32),
-            jax.random.normal(k_na, z_audio_shape, jnp.float32),
+            noise_v,
+            noise_a,
             abar_v,
             abar_a,
             deterministic=True,
@@ -305,9 +323,26 @@ def build_eval_step(
         loss_v = mse_targets_only(
             out["eps_v"], out["eps_a"], out["eps_true_v"], out["eps_true_a"],
             jnp.asarray(1.0), batch.get("has_video"), batch.get("has_audio"))
-        loss_a = mse_targets_only(
-            out["eps_v"], out["eps_a"], out["eps_true_v"], out["eps_true_a"],
-            jnp.asarray(0.0), batch.get("has_video"), batch.get("has_audio"))
+        if model.cfg.mouth_enabled:
+            # audio-target loss with the mouth conditioning ACTIVE (the
+            # sampling-time v2a configuration); the first forward keeps it
+            # zeroed so loss_v never sees clean target pixels
+            out_m = model.apply(
+                {"params": params}, video, batch["audio"], t_v, t_a,
+                noise_v, noise_a, abar_v, abar_a, deterministic=True,
+                keep_m=jnp.ones((B,), jnp.float32),
+            )
+            loss_a = mse_targets_only(
+                out_m["eps_v"], out_m["eps_a"],
+                out_m["eps_true_v"], out_m["eps_true_a"],
+                jnp.asarray(0.0), batch.get("has_video"),
+                batch.get("has_audio"))
+        else:
+            loss_a = mse_targets_only(
+                out["eps_v"], out["eps_a"], out["eps_true_v"],
+                out["eps_true_a"],
+                jnp.asarray(0.0), batch.get("has_video"),
+                batch.get("has_audio"))
         return {"val_loss_video": loss_v, "val_loss_audio": loss_a,
                 "val_loss": 0.5 * (loss_v + loss_a)}
 
