@@ -391,8 +391,13 @@ class AVDiffusionModel(nn.Module):
         keep_a: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
         keep_m: Optional[jnp.ndarray] = None,
+        with_recon: bool = False,
     ) -> Dict[str, jnp.ndarray]:
         """End-to-end training forward: encode -> q_sample -> denoise.
+
+        `with_recon=True` additionally decodes the CLEAN latents back to
+        pixel/waveform space (out['recon_v'/'recon_a']) for the auxiliary
+        reconstruction loss — the only gradient path into the decoders.
 
         Used for module init and by train/trainer.py; returns token-space
         predictions AND token-space targets under cfg.param_{v,a} (the loss
@@ -438,4 +443,8 @@ class AVDiffusionModel(nn.Module):
             prediction_target(z_v0, eps_v, t_v, alpha_bar_v, self.cfg.param_v))
         out["eps_true_a"] = self.tokenize_audio(
             prediction_target(z_a0, eps_a, t_a, alpha_bar_a, self.cfg.param_a))
+        if with_recon:
+            out["recon_v"] = self.decode_video(
+                z_v0, out_size=tuple(video.shape[2:]))
+            out["recon_a"] = self.decode_audio(z_a0)
         return out

@@ -65,3 +65,32 @@ def alignment_loss(
     else:
         raise ValueError("Unknown alignment method")
     return weight * loss
+
+
+def reconstruction_loss(
+    recon_v: jnp.ndarray,  # [B, 3, T, H, W] decoded video
+    video: jnp.ndarray,
+    recon_a: jnp.ndarray,  # [B, 1, L] decoded audio
+    audio: jnp.ndarray,
+    weight: float = 0.0,
+    has_video: Optional[jnp.ndarray] = None,
+    has_audio: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Auxiliary autoencoder reconstruction MSE (config
+    `training.recon_loss_weight`, default 0.0 = reference semantics).
+
+    Neither this framework's reference parity path nor the reference itself
+    puts the DECODERS in the training graph (the diffusion loss stops at
+    encode -> q_sample -> eps), so sampling decodes through init-random
+    weights.  This term trains both decoders end-to-end; it also anchors
+    the latent scale, which matters under x0-prediction where a free
+    encoder could shrink latents to make the x0 target trivially
+    predictable."""
+    if weight <= 0.0:
+        return jnp.asarray(0.0, jnp.float32)
+    # codec decode length is Fa * hop, which can differ from L by a partial
+    # hop; compare over the common prefix
+    L = min(recon_a.shape[-1], audio.shape[-1])
+    loss_v = _masked_mse(recon_v, video, has_video)
+    loss_a = _masked_mse(recon_a[..., :L], audio[..., :L], has_audio)
+    return weight * (loss_v + loss_a)

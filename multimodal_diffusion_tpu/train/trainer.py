@@ -41,7 +41,8 @@ from ..models.diffusion import AVDiffusionConfig, AVDiffusionModel
 from ..ops import schedule as S
 from ..parallel.mesh import make_mesh_from_config
 from ..parallel.sharding import infer_param_shardings, replicated, shard_batch
-from .losses import alignment_loss, mse_targets_only
+from .losses import (alignment_loss, mse_targets_only,
+                     reconstruction_loss)
 from .mask_schedule import Any2AnySchedule
 
 
@@ -189,6 +190,7 @@ def build_train_step(
     align_weight: float,
     ema_decay: float,
     use_ema: bool,
+    recon_weight: float = 0.0,
 ):
     """Returns train_step(state, batch, target_is_video) -> (state, metrics).
 
@@ -241,6 +243,7 @@ def build_train_step(
                 keep_a,
                 deterministic=False,
                 keep_m=keep_m,
+                with_recon=recon_weight > 0.0,
                 rngs={"dropout": k_dropout, "vae": k_vae},
             )
             loss_main = mse_targets_only(
@@ -250,9 +253,18 @@ def build_train_step(
                 has_audio=batch.get("has_audio"),
             )
             loss_align = alignment_loss(out["h_v"], out["h_a"], weight=align_weight)
-            return loss_main + loss_align, (loss_main, loss_align)
+            if recon_weight > 0.0:
+                loss_recon = reconstruction_loss(
+                    out["recon_v"], batch["video"], out["recon_a"],
+                    batch["audio"], weight=recon_weight,
+                    has_video=batch.get("has_video"),
+                    has_audio=batch.get("has_audio"))
+            else:
+                loss_recon = jnp.asarray(0.0, jnp.float32)
+            return (loss_main + loss_align + loss_recon,
+                    (loss_main, loss_align, loss_recon))
 
-        (loss, (loss_main, loss_align)), grads = jax.value_and_grad(
+        (loss, (loss_main, loss_align, loss_recon)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
@@ -271,6 +283,7 @@ def build_train_step(
             "loss": loss,
             "loss_main": loss_main,
             "loss_align": loss_align,
+            "loss_recon": loss_recon,
             "grad_norm": optax.global_norm(grads),
         }
         new_state = state.replace(
@@ -495,6 +508,7 @@ def create_trainer(
         float(cfg["training"].get("align_loss_weight", 0.0)),
         float(ema_cfg.get("decay", 0.999)),
         use_ema,
+        recon_weight=float(cfg["training"].get("recon_loss_weight", 0.0)),
     )
     train_step = jax.jit(step_fn, donate_argnums=(0,))
 
