@@ -276,27 +276,47 @@ def device_resident_batches(dataset: "RecordDataset", mesh, batch_size: int,
 
     rep = NamedSharding(mesh, P())
 
-    def put_chunked(arr, chunk_bytes=64 << 20):
+    def put_chunked(arr, chunk_bytes=64 << 20, label="corpus"):
         """device_put in <=64 MB pieces: one giant transfer intermittently
         wedges the tunneled-chip link (observed on a ~1 GB upload); smaller
-        messages also give us per-chunk completion points."""
+        messages also give us per-chunk completion points.
+
+        Chunks are written into ONE preallocated device buffer via donated
+        dynamic_update_slice calls, so peak device memory is |arr| + one
+        chunk.  (Concatenating per-chunk device arrays — the previous
+        scheme — transiently needs 2x|arr|, which for a multi-GB corpus
+        exceeds a 16 GB chip's HBM and wedged a 9.9 GB upload.)"""
+        import time as _time
+
         per_item = int(np.prod(arr.shape[1:])) * arr.dtype.itemsize
         step = max(1, chunk_bytes // max(1, per_item))
         if arr.shape[0] <= step:
             out = jax.device_put(arr, rep)
             jax.block_until_ready(out)
             return out
-        parts = []
+        buf = jax.jit(
+            lambda: jnp.zeros(arr.shape, arr.dtype), out_shardings=rep
+        )()
+        upd = jax.jit(
+            lambda b, c, lo: jax.lax.dynamic_update_slice_in_dim(b, c, lo, 0),
+            donate_argnums=0, out_shardings=rep,
+        )
+        total_mb = arr.shape[0] * per_item / 1e6
+        t0, sent, last_log = _time.time(), 0.0, 0.0
         for lo in range(0, arr.shape[0], step):
-            p = jax.device_put(np.ascontiguousarray(arr[lo : lo + step]), rep)
-            jax.block_until_ready(p)
-            parts.append(p)
-        out = jnp.concatenate(parts, axis=0)
-        jax.block_until_ready(out)
-        return out
+            chunk = np.ascontiguousarray(arr[lo : lo + step])
+            buf = upd(buf, chunk, jnp.int32(lo))
+            jax.block_until_ready(buf)
+            sent += chunk.shape[0] * per_item / 1e6
+            if sent - last_log >= 1000.0 or sent >= total_mb:
+                dt = _time.time() - t0
+                print(f"[resident] {label}: {sent:.0f}/{total_mb:.0f} MB "
+                      f"({sent / max(dt, 1e-9):.0f} MB/s)", flush=True)
+                last_log = sent
+        return buf
 
-    vd = put_chunked(video_all)
-    ad = put_chunked(audio_all)
+    vd = put_chunked(video_all, label="video")
+    ad = put_chunked(audio_all, label="audio")
     hv = jax.device_put(has_v, rep)
     ha = jax.device_put(has_a, rep)
     jax.block_until_ready((vd, ad, hv, ha))

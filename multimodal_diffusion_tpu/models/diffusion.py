@@ -94,7 +94,9 @@ class AVDiffusionConfig:
         # sequence parallelism: `parallel.context > 1` routes the MMDiT
         # through ring attention over the mesh's 'context' axis
         core_extra = {}
-        n_context = int((cfg.get("parallel", {}) or {}).get("context", 1))
+        par = cfg.get("parallel", {}) or {}
+        n_context = int(par.get("context", 1))
+        n_pipe = int(par.get("pipe", 1))
         if n_context > 1:
             if mesh is None or "context" not in getattr(mesh, "axis_names", ()):
                 raise ValueError(
@@ -102,6 +104,20 @@ class AVDiffusionConfig:
                     "axis (make_mesh_from_config builds one)"
                 )
             core_extra = {"mesh": mesh, "context_axis": "context"}
+        if n_pipe > 1:
+            if n_context > 1:
+                raise ValueError(
+                    "parallel.pipe and parallel.context cannot be combined")
+            if mesh is None or "pipe" not in getattr(mesh, "axis_names", ()):
+                raise ValueError(
+                    "parallel.pipe > 1 requires a mesh with a 'pipe' axis "
+                    "(make_mesh_from_config builds one)"
+                )
+            core_extra = {
+                "mesh": mesh,
+                "pipe_axis": "pipe",
+                "pipe_microbatches": int(par.get("pipe_microbatches", 4)),
+            }
         return cls(
             width=int(tok["width"]),
             tube=(int(tube["t"]), int(tube["h"]), int(tube["w"])),

@@ -32,9 +32,13 @@ except ImportError:  # pragma: no cover - older jax
 
 
 def _ring_attention_local(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                          *, axis: str) -> jnp.ndarray:
+                          kv_valid: jnp.ndarray, *, axis: str) -> jnp.ndarray:
     """Per-device body (inside shard_map): q, k, v are LOCAL sequence shards
-    [B, H, Nl, Dh]; returns the local output shard."""
+    [B, H, Nl, Dh]; kv_valid is the local key-validity shard [B, Nl]
+    (True = real token) and circles the ring WITH its K/V block, so padded
+    keys are excluded no matter which device currently holds them.  Returns
+    the local output shard.  A query row whose keys are ALL invalid returns
+    zeros — the same degenerate-case contract as ops/flash_attention.py."""
     n_dev = jax.lax.psum(1, axis)
     scale = 1.0 / jnp.sqrt(jnp.asarray(q.shape[-1], jnp.float32))
     qf = q.astype(jnp.float32) * scale
@@ -52,11 +56,17 @@ def _ring_attention_local(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
 
     def body(carry, _):
-        k_cur, v_cur, m, l, acc = carry
+        k_cur, v_cur, valid_cur, m, l, acc = carry
         s = jnp.einsum("bhnd,bhmd->bhnm", qf, k_cur.astype(jnp.float32),
                        preferred_element_type=jnp.float32)
+        # mask with a large-finite fill (not -inf: when every key seen so
+        # far is masked, m_new would be -inf and exp(s - m_new) would NaN);
+        # the explicit `p * valid` below is what actually zeroes the
+        # contribution, the fill only keeps running-max statistics sane
+        vb = valid_cur[:, None, None, :]  # [B, 1, 1, M]
+        s = jnp.where(vb, s, -1e30)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
+        p = jnp.exp(s - m_new) * vb
         alpha = jnp.exp(m - m_new)
         l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc * alpha + jnp.einsum(
@@ -65,10 +75,11 @@ def _ring_attention_local(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         )
         k_nxt = jax.lax.ppermute(k_cur, axis, perm)
         v_nxt = jax.lax.ppermute(v_cur, axis, perm)
-        return (k_nxt, v_nxt, m_new, l, acc), None
+        valid_nxt = jax.lax.ppermute(valid_cur, axis, perm)
+        return (k_nxt, v_nxt, valid_nxt, m_new, l, acc), None
 
-    (k_f, v_f, m, l, acc), _ = jax.lax.scan(
-        body, (k, v, m0, l0, acc0), None, length=n_dev
+    (_, _, _, m, l, acc), _ = jax.lax.scan(
+        body, (k, v, kv_valid, m0, l0, acc0), None, length=n_dev
     )
     return (acc / jnp.maximum(l, 1e-30)).astype(q.dtype)
 
@@ -81,6 +92,7 @@ def ring_attention_sharded(
     axis: str = "model",
     batch_axis: str = "auto",
     head_axis: str = "auto",
+    kv_valid: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """Sequence-parallel attention: [B, H, N, Dh] with N sharded over `axis`.
 
@@ -89,10 +101,20 @@ def ring_attention_sharded(
     only communicates over `axis`); "auto" picks 'data'/'model' when those
     axes exist, divide the dim, and differ from `axis` — without this, a
     batch sharded over 'data' would be all-gathered at the shard_map
-    boundary."""
+    boundary.
+
+    kv_valid [B, N] bool (True = real key) enables key-padding masking:
+    the validity shard travels the ring with its K/V block.  None means all
+    keys attendable."""
     n_dev = mesh.shape[axis]
     if q.shape[2] % n_dev:
         raise ValueError(f"sequence {q.shape[2]} not divisible by {axis}={n_dev}")
+    if kv_valid is None:
+        kv_valid = jnp.ones((q.shape[0], q.shape[2]), bool)
+    if kv_valid.shape != (q.shape[0], q.shape[2]):
+        raise ValueError(
+            f"kv_valid shape {kv_valid.shape} != (B, N) = "
+            f"{(q.shape[0], q.shape[2])}")
 
     def pick(pref: str, dim: int):
         if pref != "auto":
@@ -103,11 +125,12 @@ def ring_attention_sharded(
                 return cand
         return None
 
-    spec = P(pick(batch_axis, 0), pick(head_axis, 1), axis, None)
+    b_ax = pick(batch_axis, 0)
+    spec = P(b_ax, pick(head_axis, 1), axis, None)
     fn = shard_map(
         functools.partial(_ring_attention_local, axis=axis),
         mesh=mesh,
-        in_specs=(spec, spec, spec),
+        in_specs=(spec, spec, spec, P(b_ax, axis)),
         out_specs=spec,
     )
-    return fn(q, k, v)
+    return fn(q, k, v, kv_valid)

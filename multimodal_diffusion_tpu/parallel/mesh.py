@@ -42,11 +42,13 @@ def make_mesh(
     data: int = -1,
     model: int = 1,
     context: int = 1,
+    pipe: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Build a ('data', 'model') mesh, or ('data', 'model', 'context') when
-    context > 1 (sequence parallelism opt-in; a 2-axis mesh stays the default
-    so existing specs/checkpoint tooling are unaffected).
+    """Build a ('data', 'model') mesh, extended with a 'context' axis when
+    context > 1 (sequence parallelism) and/or a 'pipe' axis when pipe > 1
+    (pipeline parallelism).  A 2-axis mesh stays the default so existing
+    specs/checkpoint tooling are unaffected.
 
     data = -1 consumes all remaining devices after the other axes.  A single
     device yields a trivial mesh so every code path is mesh-agnostic.
@@ -55,25 +57,30 @@ def make_mesh(
     n = len(devices)
     model = max(1, int(model))
     context = max(1, int(context))
+    pipe = max(1, int(pipe))
+    rest = model * context * pipe
     if data == -1:
-        if n % (model * context):
+        if n % rest:
             raise ValueError(
-                f"{n} devices not divisible by model*context={model * context}"
+                f"{n} devices not divisible by model*context*pipe={rest}"
             )
-        data = n // (model * context)
-    if data * model * context > n:
+        data = n // rest
+    if data * rest > n:
         raise ValueError(
-            f"mesh {data}x{model}x{context} needs more than {n} devices"
+            f"mesh {data}x{model}x{context}x{pipe} needs more than {n} devices"
         )
     # an explicit smaller mesh uses a device subset (useful for tests and
     # for pinning jobs to part of a slice)
+    shape = [data, model]
+    names = ["data", "model"]
     if context > 1:
-        arr = np.asarray(devices[: data * model * context]).reshape(
-            data, model, context
-        )
-        return Mesh(arr, axis_names=("data", "model", "context"))
-    arr = np.asarray(devices[: data * model]).reshape(data, model)
-    return Mesh(arr, axis_names=("data", "model"))
+        shape.append(context)
+        names.append("context")
+    if pipe > 1:
+        shape.append(pipe)
+        names.append("pipe")
+    arr = np.asarray(devices[: int(np.prod(shape))]).reshape(shape)
+    return Mesh(arr, axis_names=tuple(names))
 
 
 def make_mesh_from_config(cfg: dict, devices=None) -> Mesh:
@@ -82,5 +89,6 @@ def make_mesh_from_config(cfg: dict, devices=None) -> Mesh:
         data=int(par.get("data", -1)),
         model=int(par.get("model", 1)),
         context=int(par.get("context", 1)),
+        pipe=int(par.get("pipe", 1)),
         devices=devices,
     )

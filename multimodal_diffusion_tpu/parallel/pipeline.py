@@ -118,12 +118,18 @@ def pipeline_apply(
     params_spec = jax.tree_util.tree_map(
         lambda _: P(axis), stacked_params
     )
+    # compose with data parallelism: each data-row pipelines its own batch
+    # shard (keeping the within-microbatch batch dim sharded over 'data'
+    # avoids an all-gather at the shard_map boundary)
+    batch_sub = "data" if "data" in mesh.shape and mb % mesh.shape["data"] == 0 \
+        else None
+    x_spec = P(None, batch_sub)
     fn = shard_map(
         functools.partial(_pipeline_local, stage_fn=stage_fn,
                           n_stages=n_stages, axis=axis),
         mesh=mesh,
-        in_specs=(params_spec, P()),
-        out_specs=P(),
+        in_specs=(params_spec, x_spec),
+        out_specs=x_spec,
     )
     out = fn(stacked_params, x_micro)
     return out.reshape((B,) + out.shape[2:])

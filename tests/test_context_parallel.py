@@ -77,13 +77,80 @@ def test_mmdit_context_parallel_with_rope(cp_mesh):
     )
 
 
-def test_context_parallel_rejects_padding_mask(cp_mesh):
+def test_context_parallel_with_padding_mask_parity(cp_mesh):
+    """VERDICT r2 #5 'Done =': full-model CP parity at N=1024 WITH a
+    key-padding mask — the kv_valid shard travels the ring with K/V.
+    Output parity is checked on NON-pad rows only (pad-row outputs are
+    garbage in both paths and get sliced off by real callers)."""
     ref, cp = _mmdit_pair(cp_mesh)
-    x = jnp.zeros((1, 1024, 64), jnp.float32)
-    params = ref.init({"params": jax.random.PRNGKey(0)}, x)["params"]
-    mask = jnp.zeros((1, 1024), bool)
-    with pytest.raises(NotImplementedError):
-        cp.apply({"params": params}, x, mask)
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 1024, 64), jnp.float32)
+    params = ref.init({"params": jax.random.PRNGKey(5)}, x)["params"]
+    # ragged per-batch padding, unaligned with the 128-token device shards
+    lens = np.array([1024, 700])
+    mask = np.zeros((2, 1024), bool)
+    for b, L in enumerate(lens):
+        mask[b, L:] = True
+    mask = jnp.asarray(mask)
+
+    out_ref = ref.apply({"params": params}, x, mask)
+    out_cp = jax.jit(lambda p, x, m: cp.apply({"params": p}, x, m))(
+        params, x, mask)
+    for b, L in enumerate(lens):
+        np.testing.assert_allclose(
+            np.asarray(out_cp)[b, :L], np.asarray(out_ref)[b, :L],
+            atol=2e-5, rtol=2e-5)
+
+    def masked_loss(model):
+        def f(p):
+            out = model.apply({"params": p}, x, mask)
+            return jnp.sum(jnp.where(mask[..., None], 0.0, out) ** 2)
+        return f
+
+    g_ref = jax.grad(masked_loss(ref))(params)
+    g_cp = jax.jit(jax.grad(masked_loss(cp)))(params)
+    flat_cp = {jax.tree_util.keystr(kp): v
+               for kp, v in jax.tree_util.tree_leaves_with_path(g_cp)}
+    for kp, leaf in jax.tree_util.tree_leaves_with_path(g_ref):
+        key = jax.tree_util.keystr(kp)
+        np.testing.assert_allclose(
+            np.asarray(flat_cp[key]), np.asarray(leaf),
+            atol=5e-3, rtol=5e-3, err_msg=key)
+
+
+def test_context_parallel_fully_masked_row_zeros(cp_mesh):
+    """Degenerate contract parity with ops/flash_attention.py: a batch row
+    whose keys are ALL padded produces zeros from the ring's attention —
+    the model output for that row is then just the (token-local) residual
+    stack of it."""
+    from multimodal_diffusion_tpu.ops.ring_attention import (
+        ring_attention_sharded)
+
+    q = jax.random.normal(jax.random.PRNGKey(6), (2, 2, 1024, 16))
+    kv_valid = jnp.asarray(
+        np.stack([np.zeros(1024, bool), np.ones(1024, bool)]))
+    out = ring_attention_sharded(q, q, q, cp_mesh, axis="context",
+                                 kv_valid=kv_valid)
+    assert bool(jnp.all(out[0] == 0.0))
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_context_parallel_seq_multiple_pads_to_ring(cp_mesh):
+    """seq_multiple now composes with CP: N=1000 is padded to
+    lcm(128, 8)-aligned 1024, the ring engages (pad keys masked), and the
+    sliced output matches the unsharded unpadded model."""
+    base = dict(d_model=64, n_layers=2, n_heads=4, mlp_ratio=2.0,
+                dropout=0.0, attn_dropout=0.0, norm="rmsnorm",
+                token_dropout=0.0)
+    ref = MMDiT(MMDiTConfig(**base, seq_multiple=1))
+    cp = MMDiT(MMDiTConfig(**base, seq_multiple=128, mesh=cp_mesh,
+                           context_axis="context"))
+    x = jax.random.normal(jax.random.PRNGKey(7), (2, 1000, 64), jnp.float32)
+    params = ref.init({"params": jax.random.PRNGKey(8)}, x)["params"]
+    out_ref = ref.apply({"params": params}, x)
+    out_cp = jax.jit(lambda p, x: cp.apply({"params": p}, x))(params, x)
+    assert out_cp.shape == out_ref.shape
+    np.testing.assert_allclose(
+        np.asarray(out_cp), np.asarray(out_ref), atol=2e-5, rtol=2e-5)
 
 
 def test_train_step_with_config_context_parallel():

@@ -23,6 +23,34 @@ def test_ring_attention_matches_reference(axis_size):
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("axis_size", [2, 8])
+def test_ring_attention_masked_matches_reference(axis_size):
+    """kv_valid travelling the ring == dense attention with the same keys
+    dropped (ragged per-batch lengths, unaligned with device shards)."""
+    mesh = make_mesh(data=1, model=axis_size)
+    N = 8 * axis_size
+    shape = (2, 2, N, 16)
+    ks = jax.random.split(jax.random.PRNGKey(2), 3)
+    q, k, v = (jax.random.normal(kk, shape, jnp.float32) for kk in ks)
+    valid = np.ones((2, N), bool)
+    valid[0, N - 3:] = False        # crosses the last shard boundary
+    valid[1, N // 2 + 1:] = False   # half the ring sees no valid keys
+    valid = jnp.asarray(valid)
+    bias = jnp.where(valid, 0.0, -1e30)[:, None, None, :]
+    ref = mha_reference(q, k, v, bias=bias)
+    out = ring_attention_sharded(q, k, v, mesh, axis="model", kv_valid=valid)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_ring_attention_rejects_bad_mask_shape():
+    mesh = make_mesh(data=1, model=2)
+    q = jnp.zeros((1, 1, 8, 4))
+    with pytest.raises(ValueError, match="kv_valid"):
+        ring_attention_sharded(q, q, q, mesh, axis="model",
+                               kv_valid=jnp.ones((1, 4), bool))
+
+
 def test_ring_attention_rejects_indivisible():
     mesh = make_mesh(data=1, model=4)
     q = jnp.zeros((1, 1, 10, 8))
