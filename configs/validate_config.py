@@ -47,6 +47,8 @@ RULES: List[Rule] = [
      "schedule must be cosine|linear|sigmoid"),
     ("training.cfg_drop_prob", lambda v: 0.0 <= float(v) <= 1.0,
      "cfg_drop_prob in [0,1]"),
+    ("training.clean_cond_prob", lambda v: 0.0 <= float(v) <= 1.0,
+     "clean_cond_prob in [0,1]"),
     ("sampling.prompt_modality", lambda v: v in {"video", "audio"},
      "prompt_modality must be video|audio"),
     ("parallel.model", lambda v: int(v) >= 1, "parallel.model must be >= 1"),

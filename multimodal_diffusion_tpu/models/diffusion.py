@@ -78,6 +78,16 @@ class AVDiffusionConfig:
     mouth_enabled: bool = False
     mouth_box: Tuple[int, int, int, int] = (64, 112, 32, 96)  # h0, h1, w0, w1
     mouth_tube: Tuple[int, int, int] = (2, 8, 8)  # (t, h, w) on PIXELS
+    # model.latent_rmsnorm: per-sample RMS normalization of BOTH encoders'
+    # latents.  With a jointly-trained autoencoder the encoder can collapse
+    # its output scale (measured on the 50k specificity run: z_audio std
+    # 0.005) — x0-prediction then becomes trivially accurate, the diffusion
+    # SNR drops ~-46 dB at every t, and the denoiser transmits no per-clip
+    # information (corr_gen == corr_shuf).  Forcing rms(z)==1 per sample
+    # removes the collapse direction entirely; the decoder trains on
+    # unit-scale latents, which is exactly what DDIM hands it at sampling
+    # time.  Default False = reference semantics / old checkpoints.
+    latent_rmsnorm: bool = False
     dtype: Any = jnp.float32
 
     @classmethod
@@ -142,6 +152,7 @@ class AVDiffusionConfig:
                 "box", (64, 112, 32, 96))),
             mouth_tube=(int(mtube.get("t", 2)), int(mtube.get("h", 8)),
                         int(mtube.get("w", 8))),
+            latent_rmsnorm=bool(cfg["model"].get("latent_rmsnorm", False)),
             dtype=dtype,
         )
 
@@ -242,14 +253,23 @@ class AVDiffusionModel(nn.Module):
 
     # ------------------ codec passthroughs ------------------
 
+    def _latent_norm(self, z: jnp.ndarray) -> jnp.ndarray:
+        """Per-sample RMS normalization (cfg.latent_rmsnorm): projects out
+        the encoder's scale-collapse direction (see AVDiffusionConfig)."""
+        if not self.cfg.latent_rmsnorm:
+            return z
+        axes = tuple(range(1, z.ndim))
+        ms = jnp.mean(jnp.square(z), axis=axes, keepdims=True)
+        return z * jax.lax.rsqrt(ms + 1e-8)
+
     def encode_video(self, x: jnp.ndarray, rng: Optional[jax.Array] = None):
-        return self.vid_vae.encode(x, rng)
+        return self._latent_norm(self.vid_vae.encode(x, rng))
 
     def decode_video(self, z: jnp.ndarray, out_size=None):
         return self.vid_vae.decode(z, out_size)
 
     def encode_audio(self, wav: jnp.ndarray):
-        return self.aud_codec.encode(wav)
+        return self._latent_norm(self.aud_codec.encode(wav))
 
     def decode_audio(self, z: jnp.ndarray):
         return self.aud_codec.decode(z)

@@ -191,18 +191,26 @@ def build_train_step(
     ema_decay: float,
     use_ema: bool,
     recon_weight: float = 0.0,
+    clean_cond_prob: float = 0.0,
 ):
     """Returns train_step(state, batch, target_is_video) -> (state, metrics).
 
     Reference hot loop: trainer.py:254-403.  All randomness (timesteps,
     noise, CFG drop, dropout) is drawn on device from state.rng.
+
+    clean_cond_prob: per-sample probability of forcing the CONDITIONING
+    modality's timestep to 0.  Sampling always conditions on the clean
+    prompt at t=0 (infer/ddim.py `t_zero`), but independent uniform t
+    draws hit that configuration with probability ~1/T — the denoiser is
+    never trained where it is used.  A clean-conditioning mixture puts the
+    inference configuration in the training distribution while keeping
+    the any-to-any joint objective (reference semantics = 0.0).
     """
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                    target_is_video: jnp.ndarray):
-        rng, k_tv, k_ta, k_nv, k_na, k_drop, k_dropout, k_vae = jax.random.split(
-            state.rng, 8
-        )
+        (rng, k_tv, k_ta, k_nv, k_na, k_drop, k_dropout, k_vae,
+         k_clean) = jax.random.split(state.rng, 9)
         video = batch["video"]
         if video.dtype == jnp.uint8:
             # on-device preprocessing: the host ships uint8 [B, T, H, W, 3];
@@ -213,6 +221,13 @@ def build_train_step(
         B = batch["video"].shape[0]
         t_v = jax.random.randint(k_tv, (B,), 0, T_v)
         t_a = jax.random.randint(k_ta, (B,), 0, T_a)
+        if clean_cond_prob > 0.0:
+            clean = jax.random.uniform(k_clean, (B,)) < clean_cond_prob
+            is_v = target_is_video.astype(bool)
+            # zero the CONDITIONING modality's t (video conditions when the
+            # target is audio, and vice versa)
+            t_v = jnp.where(clean & jnp.logical_not(is_v), 0, t_v)
+            t_a = jnp.where(clean & is_v, 0, t_a)
         noise_v = jax.random.normal(k_nv, z_video_shape, jnp.float32)
         noise_a = jax.random.normal(k_na, z_audio_shape, jnp.float32)
 
@@ -509,6 +524,7 @@ def create_trainer(
         float(ema_cfg.get("decay", 0.999)),
         use_ema,
         recon_weight=float(cfg["training"].get("recon_loss_weight", 0.0)),
+        clean_cond_prob=float(cfg["training"].get("clean_cond_prob", 0.0)),
     )
     train_step = jax.jit(step_fn, donate_argnums=(0,))
 

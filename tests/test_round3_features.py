@@ -315,3 +315,85 @@ def test_recon_loss_trains_decoders():
     _, m2 = bundle2.train_step(bundle2.state, batch,
                                jnp.asarray(1.0, jnp.float32))
     assert float(m2["loss_recon"]) == 0.0
+
+
+# ---------------------- clean-conditioning mixture ----------------------
+
+
+def test_clean_cond_prob_train_step():
+    """training.clean_cond_prob forces the conditioning modality's t to 0
+    for a fraction of samples (the sampling-time configuration); the train
+    step runs and the config validator accepts/rejects the knob."""
+    from multimodal_diffusion_tpu.train.trainer import create_trainer
+
+    cfg = copy.deepcopy(tiny_cfg())
+    cfg["training"]["clean_cond_prob"] = 1.0
+    bundle = create_trainer(cfg)
+    B = bundle.latent_shapes["video"][0]
+    rng = np.random.default_rng(0)
+    batch = {
+        "video": jnp.asarray(
+            rng.integers(0, 255, (B, 8, 32, 32, 3), dtype=np.uint8)),
+        "audio": jnp.asarray(
+            rng.uniform(-1, 1, bundle.latent_shapes["audio"])
+            .astype(np.float32)),
+        "has_video": jnp.ones(B, bool), "has_audio": jnp.ones(B, bool),
+    }
+    state = bundle.state
+    for tiv in (0.0, 1.0):
+        state, m = bundle.train_step(state, batch,
+                                     jnp.asarray(tiv, jnp.float32))
+        assert np.isfinite(float(m["loss"]))
+
+    from configs.validate_config import validate
+
+    cfg_bad = copy.deepcopy(tiny_cfg())
+    cfg_bad["training"]["clean_cond_prob"] = 1.5
+    errs = validate(cfg_bad)
+    assert any("clean_cond_prob" in e for e in errs), errs
+
+
+# ---------------------- latent RMS normalization ----------------------
+
+
+def test_latent_rmsnorm_unit_scale_and_trains():
+    """model.latent_rmsnorm forces per-sample rms(z)==1 for both encoders
+    (the anti-collapse guard measured necessary on the 50k specificity
+    run), and the full train step + V->A sampling run under it."""
+    from multimodal_diffusion_tpu.infer.ddim import sampler_from_config
+    from multimodal_diffusion_tpu.train.trainer import create_trainer
+
+    cfg = copy.deepcopy(tiny_cfg())
+    cfg["model"]["latent_rmsnorm"] = True
+    cfg["diffusion"]["audio"]["param"] = "x0"
+    bundle = create_trainer(cfg)
+    model = bundle.model
+    B = bundle.latent_shapes["video"][0]
+    rng = np.random.default_rng(0)
+    video = jnp.asarray(
+        rng.uniform(0, 1, (B, 3, 8, 32, 32)).astype(np.float32))
+    audio = jnp.asarray(
+        rng.uniform(-1, 1, bundle.latent_shapes["audio"]).astype(np.float32))
+
+    var = {"params": bundle.state.params}
+    z_v = model.apply(var, video, method=model.encode_video)
+    z_a = model.apply(var, audio, method=model.encode_audio)
+    for z in (z_v, z_a):
+        rms = np.sqrt(np.mean(np.square(np.asarray(z, np.float64)),
+                              axis=tuple(range(1, z.ndim))))
+        np.testing.assert_allclose(rms, 1.0, atol=1e-3)
+
+    batch = {"video": jnp.asarray(
+                 rng.integers(0, 255, (B, 8, 32, 32, 3), dtype=np.uint8)),
+             "audio": audio,
+             "has_video": jnp.ones(B, bool), "has_audio": jnp.ones(B, bool)}
+    state, m = bundle.train_step(bundle.state, batch,
+                                 jnp.asarray(0.0, jnp.float32))
+    assert np.isfinite(float(m["loss"]))
+
+    sample, _ = sampler_from_config(bundle.model, cfg, target="audio")
+    zs = bundle.latent_shapes
+    out = sample(state.params,
+                 jnp.asarray(rng.standard_normal(zs["z_video"]), jnp.float32),
+                 jnp.asarray(rng.standard_normal(zs["z_audio"]), jnp.float32))
+    assert bool(jnp.all(jnp.isfinite(out)))
