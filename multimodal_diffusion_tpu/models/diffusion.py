@@ -113,7 +113,9 @@ class AVDiffusionConfig:
                     "parallel.context > 1 requires a mesh with a 'context' "
                     "axis (make_mesh_from_config builds one)"
                 )
-            core_extra = {"mesh": mesh, "context_axis": "context"}
+            core_extra = {"mesh": mesh, "context_axis": "context",
+                          "context_flash":
+                              bool(par.get("context_flash", False))}
         if n_pipe > 1:
             if n_context > 1:
                 raise ValueError(

@@ -114,6 +114,7 @@ class Attention(nn.Module):
     dtype: Dtype = jnp.float32
     mesh: Any = None
     context_axis: Optional[str] = None
+    context_flash: bool = False
 
     @nn.compact
     def __call__(
@@ -157,9 +158,14 @@ class Attention(nn.Module):
             # key-padding composes with the ring: the validity shard
             # (True = real token) travels with its K/V block (VERDICT r2 #5)
             kv_valid = None if key_padding_mask is None else ~key_padding_mask
+            # flash-backed ring (parallel.context_flash) only on
+            # deterministic passes: the per-block Pallas kernels carry no
+            # vjp, so training keeps the differentiable einsum body
+            impl = ("flash" if self.context_flash and deterministic
+                    else "einsum")
             out = ring_attention_sharded(q, k, v, self.mesh,
                                          axis=self.context_axis,
-                                         kv_valid=kv_valid)
+                                         kv_valid=kv_valid, impl=impl)
         else:
             out = multi_head_attention(q, k, v,
                                        key_padding_mask=key_padding_mask)
@@ -228,6 +234,7 @@ class Block(nn.Module):
     dtype: Dtype = jnp.float32
     mesh: Any = None
     context_axis: Optional[str] = None
+    context_flash: bool = False
 
     def _constrain(self, x: jnp.ndarray) -> jnp.ndarray:
         if self.mesh is not None and self.context_axis is not None:
@@ -264,6 +271,7 @@ class Block(nn.Module):
             dtype=self.dtype,
             mesh=self.mesh,
             context_axis=self.context_axis,
+            context_flash=self.context_flash,
             name="attn",
         )(make_norm(self.norm, self.dtype)(x), key_padding_mask, deterministic)
         x = x + MLP(self.mlp_ratio, self.dropout, self.gelu_exact,
@@ -297,6 +305,11 @@ class MMDiTConfig:
     # axis over + the Mesh itself; attention becomes a ppermute ring.
     mesh: Any = None
     context_axis: Optional[str] = None
+    # flash-backed ring attention for CP (parallel.context_flash): per-block
+    # Pallas flash kernels merged by LSE algebra — O(block) memory instead
+    # of [Nl x Nl] scores per ring step.  Deterministic passes only (no
+    # vjp); training silently keeps the einsum ring.
+    context_flash: bool = False
     # pipeline parallelism (opt-in via `parallel.pipe: N`): contiguous
     # layer groups become GPipe stages over the mesh's pipe axis
     # (parallel/pipeline.py schedule).  Composes with 'data' (microbatches
@@ -403,6 +416,7 @@ class MMDiT(nn.Module):
                     dtype=cfg.dtype,
                     mesh=cfg.mesh,
                     context_axis=cfg.context_axis,
+                    context_flash=cfg.context_flash,
                     name=f"block_{i}",
                 )(x, key_padding_mask, deterministic)
 

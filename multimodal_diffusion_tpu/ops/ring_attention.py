@@ -84,6 +84,55 @@ def _ring_attention_local(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return (acc / jnp.maximum(l, 1e-30)).astype(q.dtype)
 
 
+def _ring_attention_local_flash(q: jnp.ndarray, k: jnp.ndarray,
+                                v: jnp.ndarray, kv_valid: jnp.ndarray,
+                                *, axis: str) -> jnp.ndarray:
+    """Flash-kernel ring body: each ring step runs the Pallas flash forward
+    on the CURRENT K/V block (O(BLOCK_Q x BLOCK_K) VMEM working set — the
+    [Nl x Nl] score matrix of the einsum body is never materialized) and
+    the per-block normalized outputs are merged with log-sum-exp algebra:
+
+        out = sum_i exp(lse_i - lse_total) * out_i,
+        lse_total = logsumexp_i(lse_i)
+
+    which is exact because flash returns out_i = acc_i / l_i together with
+    lse_i = m_i + log(l_i).  A fully-masked block yields lse_i ~ -1e30 and
+    weight ~0, preserving the zeros contract.  FORWARD-ONLY: the raw
+    pallas kernels carry no vjp, so this path is for inference/eval
+    (mmdit routes it only when `deterministic`)."""
+    from .flash_attention import _flash_forward
+
+    n_dev = jax.lax.psum(1, axis)
+    B, H, Nl, Dh = q.shape
+    perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+
+    zero_col = (q[..., :1] * 0.0).astype(jnp.float32)
+    lse0 = zero_col - jnp.inf          # [B, H, Nl, 1]
+    acc0 = q.astype(jnp.float32) * 0.0
+
+    def body(carry, _):
+        k_cur, v_cur, valid_cur, lse, acc = carry
+        out_i, lse_flat = _flash_forward(q, k_cur, v_cur,
+                                         kpad=jnp.logical_not(valid_cur))
+        lse_i = lse_flat[:, :Nl, :].reshape(B, H, Nl, 1)
+        lse_new = jnp.logaddexp(lse, lse_i)
+        # exp(-inf - -inf) guard: a row with no valid keys anywhere keeps
+        # lse_new == -inf; weights become 0 via the where
+        w_old = jnp.where(jnp.isneginf(lse_new), 0.0, jnp.exp(lse - lse_new))
+        w_new = jnp.where(jnp.isneginf(lse_new), 0.0,
+                          jnp.exp(lse_i - lse_new))
+        acc = acc * w_old + out_i.astype(jnp.float32) * w_new
+        k_nxt = jax.lax.ppermute(k_cur, axis, perm)
+        v_nxt = jax.lax.ppermute(v_cur, axis, perm)
+        valid_nxt = jax.lax.ppermute(valid_cur, axis, perm)
+        return (k_nxt, v_nxt, valid_nxt, lse_new, acc), None
+
+    (_, _, _, _, acc), _ = jax.lax.scan(
+        body, (k, v, kv_valid, lse0, acc0), None, length=n_dev
+    )
+    return acc.astype(q.dtype)
+
+
 def ring_attention_sharded(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -93,6 +142,7 @@ def ring_attention_sharded(
     batch_axis: str = "auto",
     head_axis: str = "auto",
     kv_valid: jnp.ndarray = None,
+    impl: str = "einsum",
 ) -> jnp.ndarray:
     """Sequence-parallel attention: [B, H, N, Dh] with N sharded over `axis`.
 
@@ -105,7 +155,12 @@ def ring_attention_sharded(
 
     kv_valid [B, N] bool (True = real key) enables key-padding masking:
     the validity shard travels the ring with its K/V block.  None means all
-    keys attendable."""
+    keys attendable.
+
+    impl: "einsum" (differentiable; materializes one [B, H, Nl, Nl] score
+    block per ring step) or "flash" (Pallas flash kernel per block merged
+    by LSE algebra — O(block) memory, FORWARD-ONLY; use for inference on
+    long windows)."""
     n_dev = mesh.shape[axis]
     if q.shape[2] % n_dev:
         raise ValueError(f"sequence {q.shape[2]} not divisible by {axis}={n_dev}")
@@ -125,12 +180,20 @@ def ring_attention_sharded(
                 return cand
         return None
 
+    if impl not in {"einsum", "flash"}:
+        raise ValueError(f"impl must be einsum|flash, got {impl!r}")
+    local = (_ring_attention_local_flash if impl == "flash"
+             else _ring_attention_local)
     b_ax = pick(batch_axis, 0)
     spec = P(b_ax, pick(head_axis, 1), axis, None)
     fn = shard_map(
-        functools.partial(_ring_attention_local, axis=axis),
+        functools.partial(local, axis=axis),
         mesh=mesh,
         in_specs=(spec, spec, spec, P(b_ax, axis)),
         out_specs=spec,
+        # pallas_call's out ShapeDtypeStructs carry no vma annotation, so
+        # jax's varying-mesh-axes check cannot see through the flash body;
+        # the einsum body keeps the check on
+        check_vma=(impl != "flash"),
     )
     return fn(q, k, v, kv_valid)
