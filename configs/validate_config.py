@@ -58,6 +58,8 @@ RULES: List[Rule] = [
      "diffusion.*.param must be eps|x0|v"),
     ("video.arch", lambda v: v in {"conv", "patch"},
      "video.arch must be conv|patch"),
+    ("parallel.context_flash", lambda v: isinstance(v, bool),
+     "parallel.context_flash must be a bool"),
 ]
 
 CROSS_RULES = [
@@ -94,6 +96,9 @@ CROSS_RULES = [
         % int(_get(c, "conditioning.mouth_crop.tube.w") or 8) == 0),
      "conditioning.mouth_crop.box must lie inside video.size and divide "
      "its tube h/w"),
+    (lambda c: not _get(c, "parallel.context_flash")
+     or int(_get(c, "parallel.context") or 1) > 1,
+     "parallel.context_flash requires parallel.context > 1"),
 ]
 
 
