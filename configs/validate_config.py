@@ -60,6 +60,8 @@ RULES: List[Rule] = [
      "video.arch must be conv|patch"),
     ("parallel.context_flash", lambda v: isinstance(v, bool),
      "parallel.context_flash must be a bool"),
+    ("model.core.quant", lambda v: v in {"none", "int8"},
+     "model.core.quant must be none|int8"),
 ]
 
 CROSS_RULES = [

@@ -99,6 +99,20 @@ def rotary_embed(q: jnp.ndarray, k: jnp.ndarray, max_period: float = 10_000.0):
     return rot(q), rot(k)
 
 
+def _quant_dot_general(quant: str, deterministic: bool):
+    """dot_general override for the hot projections, or None for the
+    default.  int8 engages only on deterministic (inference) passes —
+    rounding has no useful gradient and training keeps bf16/fp32
+    (ops/quant.py has the scheme and the loop-invariance argument)."""
+    if quant == "none" or not deterministic:
+        return None
+    if quant == "int8":
+        from ..ops.quant import int8_dot_general
+
+        return int8_dot_general
+    raise ValueError(f"model.core.quant must be none|int8, got {quant!r}")
+
+
 class Attention(nn.Module):
     """Self-attention with fused QKV projection (torch MultiheadAttention
     semantics: joint in-proj, out-proj, biases — reference mmdt.py:51-61).
@@ -115,6 +129,7 @@ class Attention(nn.Module):
     mesh: Any = None
     context_axis: Optional[str] = None
     context_flash: bool = False
+    quant: str = "none"
 
     @nn.compact
     def __call__(
@@ -127,6 +142,7 @@ class Attention(nn.Module):
         if d % self.n_heads:
             raise ValueError(f"d_model {d} not divisible by n_heads {self.n_heads}")
         Dh = d // self.n_heads
+        dg = _quant_dot_general(self.quant, deterministic)
 
         qkv = nn.Dense(
             3 * d,
@@ -134,6 +150,7 @@ class Attention(nn.Module):
             param_dtype=jnp.float32,
             kernel_init=_dense_init("embed", "heads"),
             bias_init=_zeros_init("heads"),
+            dot_general=dg,
             name="qkv",
         )(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -176,6 +193,7 @@ class Attention(nn.Module):
             param_dtype=jnp.float32,
             kernel_init=_dense_init("heads", "embed"),
             bias_init=_zeros_init("embed"),
+            dot_general=dg,
             name="out",
         )(out)
         return nn.Dropout(self.resid_dropout)(out, deterministic=deterministic)
@@ -188,17 +206,20 @@ class MLP(nn.Module):
     dropout: float = 0.0
     gelu_exact: bool = True
     dtype: Dtype = jnp.float32
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         d = x.shape[-1]
         hidden = int(d * self.mlp_ratio)
+        dg = _quant_dot_general(self.quant, deterministic)
         h = nn.Dense(
             hidden,
             dtype=self.dtype,
             param_dtype=jnp.float32,
             kernel_init=_dense_init("embed", "mlp"),
             bias_init=_zeros_init("mlp"),
+            dot_general=dg,
             name="fc1",
         )(x)
         # exact (erf) GELU == torch F.gelu default (checkpoint portability);
@@ -212,6 +233,7 @@ class MLP(nn.Module):
             param_dtype=jnp.float32,
             kernel_init=_dense_init("mlp", "embed"),
             bias_init=_zeros_init("embed"),
+            dot_general=dg,
             name="fc2",
         )(h)
         return nn.Dropout(self.dropout)(h, deterministic=deterministic)
@@ -235,6 +257,7 @@ class Block(nn.Module):
     mesh: Any = None
     context_axis: Optional[str] = None
     context_flash: bool = False
+    quant: str = "none"
 
     def _constrain(self, x: jnp.ndarray) -> jnp.ndarray:
         if self.mesh is not None and self.context_axis is not None:
@@ -272,10 +295,11 @@ class Block(nn.Module):
             mesh=self.mesh,
             context_axis=self.context_axis,
             context_flash=self.context_flash,
+            quant=self.quant,
             name="attn",
         )(make_norm(self.norm, self.dtype)(x), key_padding_mask, deterministic)
         x = x + MLP(self.mlp_ratio, self.dropout, self.gelu_exact,
-                    dtype=self.dtype, name="mlp")(
+                    dtype=self.dtype, quant=self.quant, name="mlp")(
             make_norm(self.norm, self.dtype)(x), deterministic
         )
         return self._constrain(x)
@@ -310,6 +334,11 @@ class MMDiTConfig:
     # of [Nl x Nl] scores per ring step.  Deterministic passes only (no
     # vjp); training silently keeps the einsum ring.
     context_flash: bool = False
+    # reduced-precision inference (`model.core.quant: "int8"`): the four hot
+    # projections run W8A8 dynamic int8 on deterministic passes (v5e native
+    # int8 MXU path, nominally 2x bf16); training always keeps bf16/fp32.
+    # Scheme + loop-invariance argument: ops/quant.py.
+    quant: str = "none"
     # pipeline parallelism (opt-in via `parallel.pipe: N`): contiguous
     # layer groups become GPipe stages over the mesh's pipe axis
     # (parallel/pipeline.py schedule).  Composes with 'data' (microbatches
@@ -417,6 +446,7 @@ class MMDiT(nn.Module):
                     mesh=cfg.mesh,
                     context_axis=cfg.context_axis,
                     context_flash=cfg.context_flash,
+                    quant=cfg.quant,
                     name=f"block_{i}",
                 )(x, key_padding_mask, deterministic)
 
@@ -474,5 +504,5 @@ class _PipeStage(nn.Module):
         for i in range(self.k):
             h = Block(c.n_heads, c.mlp_ratio, c.dropout, c.attn_dropout,
                       c.norm, c.rope, c.gelu_exact, dtype=c.dtype,
-                      name=f"block_{i}")(h)
+                      quant=c.quant, name=f"block_{i}")(h)
         return h
