@@ -27,11 +27,21 @@ used everywhere for this reason).
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 from pathlib import Path
 from typing import Any, Dict
 
 import numpy as np
+
+# porting is pure host work (torch -> numpy -> orbax); never let jax touch
+# the (possibly busy/tunneled) TPU for it.  sitecustomize pre-imports jax
+# with the env latched, so the env var alone is not enough (tests/conftest
+# has the same note) — set the config as well, before first backend use.
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
