@@ -1,0 +1,141 @@
+#!/usr/bin/env python3
+"""Stall-detecting supervisor: run a training command, watch its progress
+file, kill-and-restart on stall.  Completes the failure-detection story
+(SURVEY §5: the reference has none; this repo already has SIGTERM-clean
+checkpointing + --resume — this adds the DETECTOR that drives them).
+
+Motivation is concrete: on this environment's tunneled TPU, a remote
+compile or a large transfer occasionally wedges forever (no error, no
+progress — the process must be killed and rerun; results are reproducible).
+A human doing that is not a system; this is the system:
+
+    python tools/supervise.py \
+        --progress-file runs/x/logs/metrics.jsonl \
+        --startup-seconds 3600 --stall-seconds 900 \
+        --max-restarts 8 --backoff-seconds 60 -- \
+        python -m multimodal_diffusion_tpu.train.train_joint \
+            --config configs/mvp.yaml overlay.yaml --resume
+
+Semantics:
+  * progress = the progress file GROWING (size increase; metrics.jsonl
+    gains a line per logged step).
+  * --startup-seconds: deadline for the FIRST growth after (re)launch —
+    covers data upload + compile, which legitimately take minutes.
+  * --stall-seconds: max age of the last growth once running.
+  * on stall: SIGTERM (the trainer checkpoints cleanly and exits —
+    tests/test_preemption.py), escalate to SIGKILL after --grace-seconds.
+  * restart the SAME command (include --resume so training continues);
+    stop after --max-restarts or when the child exits 0.
+
+Exit code: the child's last exit code (0 on normal completion).
+Never kills by pattern — only the child PID it spawned.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import signal
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+
+def _size(p: Path) -> int:
+    try:
+        return p.stat().st_size
+    except OSError:
+        return -1
+
+
+def run_once(cmd, progress: Path, startup_s: float, stall_s: float,
+             grace_s: float, log) -> tuple[int, bool]:
+    """Run cmd until exit or stall.  Returns (returncode, stalled)."""
+    base = _size(progress)
+    proc = subprocess.Popen(cmd)
+    log(f"[supervise] launched pid {proc.pid}")
+    started = time.time()
+    last_growth = started
+    grew_once = False
+    try:
+        while True:
+            rc = proc.poll()
+            if rc is not None:
+                return rc, False
+            now = time.time()
+            size = _size(progress)
+            if size > base:
+                base = size
+                last_growth = now
+                grew_once = True
+            deadline = stall_s if grew_once else startup_s
+            if now - last_growth > deadline:
+                phase = "run" if grew_once else "startup"
+                log(f"[supervise] STALL ({phase}): no progress in "
+                    f"{now - last_growth:.0f}s > {deadline:.0f}s; "
+                    f"SIGTERM pid {proc.pid}")
+                proc.send_signal(signal.SIGTERM)
+                try:
+                    proc.wait(timeout=grace_s)
+                except subprocess.TimeoutExpired:
+                    log(f"[supervise] SIGKILL pid {proc.pid} after "
+                        f"{grace_s:.0f}s grace")
+                    proc.kill()
+                    proc.wait()
+                return proc.returncode, True
+            time.sleep(5.0)
+    finally:
+        if proc.poll() is None:  # supervisor itself interrupted
+            proc.send_signal(signal.SIGTERM)
+            try:
+                proc.wait(timeout=grace_s)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--progress-file", type=Path, required=True)
+    ap.add_argument("--startup-seconds", type=float, default=3600.0)
+    ap.add_argument("--stall-seconds", type=float, default=900.0)
+    ap.add_argument("--grace-seconds", type=float, default=120.0)
+    ap.add_argument("--max-restarts", type=int, default=8)
+    ap.add_argument("--backoff-seconds", type=float, default=60.0)
+    ap.add_argument("cmd", nargs=argparse.REMAINDER,
+                    help="-- command to run")
+    args = ap.parse_args(argv)
+    cmd = args.cmd
+    if cmd and cmd[0] == "--":
+        cmd = cmd[1:]
+    if not cmd:
+        ap.error("no command given (pass it after --)")
+
+    def log(msg):
+        print(msg, flush=True)
+
+    attempt = 0
+    rc = 1
+    while attempt <= args.max_restarts:
+        if attempt:
+            log(f"[supervise] restart {attempt}/{args.max_restarts} after "
+                f"{args.backoff_seconds:.0f}s backoff")
+            time.sleep(args.backoff_seconds)
+        rc, stalled = run_once(cmd, args.progress_file,
+                               args.startup_seconds, args.stall_seconds,
+                               args.grace_seconds, log)
+        if not stalled:
+            if rc == 0:
+                log("[supervise] child completed cleanly")
+            else:
+                log(f"[supervise] child exited rc={rc} (not a stall); "
+                    f"restarting")
+        attempt += 1
+        if rc == 0:
+            return 0
+    log(f"[supervise] giving up after {args.max_restarts} restarts")
+    return rc if rc else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
