@@ -227,3 +227,15 @@ def test_mmdit_context_flash_forward_parity(cp_mesh):
     np.testing.assert_allclose(
         np.asarray(out_cpm)[1, :700], np.asarray(out_refm)[1, :700],
         atol=2e-4, rtol=2e-4)
+
+
+def test_config_context_flash_reaches_core():
+    from multimodal_diffusion_tpu.models.diffusion import AVDiffusionConfig
+
+    cfg = tiny_cfg()
+    cfg["parallel"] = {"data": 1, "model": 1, "context": 2,
+                       "context_flash": True}
+    mesh = make_mesh(data=1, model=1, context=2)
+    mc = AVDiffusionConfig.from_config(cfg, mesh=mesh)
+    assert mc.core.context_flash is True
+    assert mc.core.context_axis == "context"
