@@ -62,6 +62,8 @@ RULES: List[Rule] = [
      "parallel.context_flash must be a bool"),
     ("model.core.quant", lambda v: v in {"none", "int8"},
      "model.core.quant must be none|int8"),
+    ("sampling.sampler", lambda v: v in {"ddim", "dpmpp_2m"},
+     "sampling.sampler must be ddim|dpmpp_2m"),
 ]
 
 CROSS_RULES = [

@@ -39,6 +39,7 @@ def make_ddim_sampler(
     guidance_scale: float,
     eta: float = 0.0,
     param: str = "eps",
+    sampler: str = "ddim",
 ):
     """Returns sample(params, z_prompt, z_init, rng, tok_mouth) -> final
     target latent.
@@ -55,9 +56,19 @@ def make_ddim_sampler(
     out of the scan with the prompt; zeroed on the null half like the
     prompt.  For a2v with the stream enabled, zero tokens are injected so
     the sequence layout matches training's dropped-mouth state.
+
+    `sampler`: "ddim" (reference parity) or "dpmpp_2m" (DPM-Solver++(2M)
+    multistep ODE solver — ~2x fewer steps at matched quality; the x0/h
+    multistep state rides the same scan carry; deterministic, so eta must
+    be 0).
     """
     if target not in {"audio", "video"}:
         raise ValueError("target must be 'audio' or 'video'")
+    if sampler not in {"ddim", "dpmpp_2m"}:
+        raise ValueError(f"sampler must be ddim|dpmpp_2m, got {sampler!r}")
+    if sampler == "dpmpp_2m" and eta > 0.0:
+        raise ValueError("dpmpp_2m is a deterministic ODE solver; "
+                         "sampling.ddim_eta must be 0")
     sched_pairs = jnp.stack(
         [jnp.asarray(sched[:-1], jnp.int32), jnp.asarray(sched[1:], jnp.int32)],
         axis=1,
@@ -117,7 +128,7 @@ def make_ddim_sampler(
             rng = jax.random.PRNGKey(0)
 
         def step(carry, tt):
-            z, key = carry
+            z, key, x0_prev, h_prev = carry
             t_now, t_prev = tt[0], tt[1]
             t_tgt = jnp.full((2 * B,), t_now, jnp.int32)
 
@@ -153,16 +164,25 @@ def make_ddim_sampler(
             key, sub = jax.random.split(key)
             tb = jnp.full((B,), t_now, jnp.int32)
             pb = jnp.full((B,), t_prev, jnp.int32)
-            if eta > 0.0:
+            if sampler == "dpmpp_2m":
+                z_next, x0_prev, h_prev = S.dpmpp_2m_step(
+                    z, tb, pb, eps_lat, abar, x0_prev, h_prev, param=param)
+            elif eta > 0.0:
                 noise = jax.random.normal(sub, z.shape, jnp.float32)
                 z_next = S.ddim_step(z, tb, pb, eps_lat, abar, eta=eta,
                                      noise=noise, param=param)
             else:
                 z_next = S.ddim_step(z, tb, pb, eps_lat, abar, eta=0.0,
                                      param=param)
-            return (z_next, key), None
+            return (z_next, key, x0_prev, h_prev), None
 
-        (z_final, _), _ = jax.lax.scan(step, (z_init, rng), sched_pairs)
+        # dpmpp_2m multistep state (ignored and DCE'd under ddim):
+        # h_prev <= 0 signals "no previous step"
+        x0_0 = jnp.zeros_like(z_init, jnp.float32)
+        h_0 = jnp.zeros((z_init.shape[0],) + (1,) * (z_init.ndim - 1),
+                        jnp.float32)
+        (z_final, _, _, _), _ = jax.lax.scan(
+            step, (z_init, rng, x0_0, h_0), sched_pairs)
         return z_final
 
     return sample
@@ -185,8 +205,10 @@ def sampler_from_config(
     sched = S.make_sampling_schedule(T_train, S_steps)
     guide = float(cfg["sampling"]["guidance_scale"].get(target, 3.0))
     eta = float(cfg["sampling"].get("ddim_eta", 0.0))
+    sampler = str(cfg["sampling"].get("sampler", "ddim"))
     sample = make_ddim_sampler(
         model, target=target, sched=sched, alpha_bar=abar,
         guidance_scale=guide, eta=eta, param=str(dc.get("param", "eps")),
+        sampler=sampler,
     )
     return jax.jit(sample), sched

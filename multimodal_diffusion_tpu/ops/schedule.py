@@ -290,3 +290,97 @@ def ddpm_step(
         var = beta_t
     sigma = jnp.where(is_t0, 0.0, jnp.sqrt(jnp.clip(var, 0.0, None)))
     return (mean + sigma * noise.astype(jnp.float32)).astype(xdtype)
+
+
+def to_x0_pred(
+    x_t: jnp.ndarray,
+    pred: jnp.ndarray,
+    a_t: jnp.ndarray,
+    param: str = "eps",
+) -> jnp.ndarray:
+    """Convert a model prediction under `param` ('eps'|'x0'|'v') into the
+    denoised-data estimate x0 (same conversions as ddim_step).  a_t is a_bar
+    broadcast to x_t's shape; fp32 in, fp32 out."""
+    sqrt_a = jnp.sqrt(a_t)
+    sqrt_omb = jnp.sqrt(jnp.clip(1.0 - a_t, 0.0, None))
+    if param == "eps":
+        return (x_t - sqrt_omb * pred) / jnp.clip(sqrt_a, 1e-8, None)
+    if param == "x0":
+        return pred
+    if param == "v":
+        return sqrt_a * x_t - sqrt_omb * pred
+    raise ValueError(f"param must be 'eps'|'x0'|'v', got {param!r}")
+
+
+def dpmpp_2m_step(
+    x_t: jnp.ndarray,
+    t_now: jnp.ndarray,
+    t_prev: jnp.ndarray,
+    pred: jnp.ndarray,
+    alpha_bar: jnp.ndarray,
+    x0_prev: jnp.ndarray,
+    h_prev: jnp.ndarray,
+    *,
+    param: str = "eps",
+    clip_x0: Optional[Tuple[float, float]] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One DPM-Solver++(2M) update (Lu et al. 2022, data-prediction
+    multistep, deterministic/ODE form) — a 2nd-order solver that reaches
+    DDIM-at-50-steps quality in roughly half the steps (the reference has
+    only DDIM, sample_clip.py:316-389; this is a TPU-era inference upgrade,
+    selected via `sampling.sampler: dpmpp_2m`).
+
+    With alpha_t = sqrt(a_bar), sigma_t = sqrt(1 - a_bar),
+    lambda_t = log(alpha_t / sigma_t), h = lambda_prev - lambda_now:
+
+        D = (1 + 1/(2 r)) x0_now - 1/(2 r) x0_last,  r = h_prev / h
+        x_prev = (sigma_prev / sigma_now) x_t - alpha_prev (e^{-h} - 1) D
+
+    First step (signalled by h_prev <= 0) uses D = x0_now (1st-order =
+    DDIM's x0 form).  The final step (t_prev == -1, a_bar(-1) := 1 as in
+    ddim_step) returns D exactly (the sigma_prev -> 0 limit).
+
+    Returns (x_prev, x0_now, h) so the caller's scan can carry the
+    multistep state.  fp32 math, cast back to x_t.dtype.
+    """
+    xdtype = x_t.dtype
+    x_t = x_t.astype(jnp.float32)
+    pred = pred.astype(jnp.float32)
+    nd = x_t.ndim
+
+    a_t = _bcast_gather(alpha_bar, jnp.clip(t_now, 0, None), nd)
+    a_prev_raw = _bcast_gather(alpha_bar, jnp.clip(t_prev, 0, None), nd)
+    is_final = (t_prev < 0).reshape((-1,) + (1,) * (nd - 1))
+    # a_bar(-1) := 1; clip keeps lambda finite, the final step is exact via
+    # the where() below
+    a_prev = jnp.where(is_final,
+                       jnp.full_like(a_prev_raw, 1.0 - 1e-10), a_prev_raw)
+
+    x0_now = to_x0_pred(x_t, pred, a_t, param=param)
+    if clip_x0 is not None:
+        x0_now = jnp.clip(x0_now, clip_x0[0], clip_x0[1])
+
+    def lam(a):
+        return 0.5 * (jnp.log(jnp.clip(a, 1e-20, None))
+                      - jnp.log(jnp.clip(1.0 - a, 1e-20, None)))
+
+    lam_now, lam_prev = lam(a_t), lam(a_prev)
+    h = lam_prev - lam_now  # > 0 (denoising direction)
+
+    first = (h_prev <= 0.0)
+    r = h_prev / jnp.clip(h, 1e-20, None)
+    # lower-order final: the final step's h is effectively infinite
+    # (a_bar(-1)=1) and x_prev = D directly, so a 2nd-order extrapolated D
+    # overshoots — use the 1st-order D = x0 there (standard practice for
+    # multistep DPM-Solver++ at low step counts)
+    coef = jnp.where(first | is_final, 0.0,
+                     1.0 / (2.0 * jnp.clip(r, 1e-20, None)))
+    D = (1.0 + coef) * x0_now - coef * x0_prev.astype(jnp.float32)
+
+    sigma_now = jnp.sqrt(jnp.clip(1.0 - a_t, 1e-20, None))
+    sigma_prev = jnp.sqrt(jnp.clip(1.0 - a_prev, 0.0, None))
+    alpha_prev = jnp.sqrt(a_prev)
+    x_prev = (sigma_prev / sigma_now) * x_t \
+        - alpha_prev * (jnp.exp(-h) - 1.0) * D
+    x_prev = jnp.where(is_final, D, x_prev)
+    return x_prev.astype(xdtype), x0_now, h
