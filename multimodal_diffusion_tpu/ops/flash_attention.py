@@ -491,6 +491,14 @@ def flash_attention(
     key_padding_mask: optional [B, N] bool, True = PAD (torch
     MultiheadAttention semantics, shared across heads) — masked INSIDE the
     kernels, so the N x N bias tensor of the XLA path is never materialized.
+
+    Degenerate case — a query row whose keys are ALL masked: this kernel
+    returns exactly 0 for that row (sum of weights clamped to 1e-30),
+    whereas an additive-bias XLA fallback would return uniform attention
+    over the padded keys (a finite bias cancels in softmax).  Zero is the
+    defensible answer (no valid key to attend to) and no caller produces a
+    fully-masked row (collate guarantees >= 1 valid token per modality);
+    anyone adding such a caller must not rely on the fallback's behavior.
     """
     if key_padding_mask is None:
         return _flash_plain(q, k, v)
