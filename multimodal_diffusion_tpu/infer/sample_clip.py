@@ -24,6 +24,7 @@ Differences by design (all fixes of reference defects, SURVEY §2.12):
 from __future__ import annotations
 
 import argparse
+import math
 from collections import OrderedDict
 from pathlib import Path
 from typing import Dict, Optional
@@ -153,6 +154,8 @@ def get_sampler(model: AVDiffusionModel, cfg: Dict, target: str):
         str(dc["schedule"]), float(dc["min_beta"]), float(dc["max_beta"]),
         float(samp.get("guidance_scale", {}).get(target, 3.0)),
         float(samp.get("ddim_eta", 0.0)),
+        str(samp.get("sampler", "ddim")),
+        str(dc.get("param", "eps")),
     )
     if key not in _SAMPLER_CACHE:
         _SAMPLER_CACHE[key] = sampler_from_config(model, cfg, target)[0]
@@ -204,6 +207,24 @@ def sample_one_direction(
             frames = frames[None]  # [1,T,H,W,3]
         B = frames.shape[0]
         frames = frames.transpose(0, 4, 1, 2, 3)  # [B,3,T,H,W]
+        # Center-crop T here (not just inside encode_video) so the mouth
+        # tokens below are patched from EXACTLY the frames the VAE encodes:
+        # the sampler derives the mouth grid from the post-crop latent, so
+        # tokenizing uncropped frames would desync the two on any frame
+        # count not divisible by t_down (and the mouth tube's own t).
+        t_div = int(model.cfg.vae.t_down)
+        if model.cfg.mouth_enabled:
+            mt = int(model.cfg.mouth_tube[0])
+            t_div = t_div * mt // math.gcd(t_div, mt)
+        T_in = frames.shape[2]
+        T_crop = (T_in // t_div) * t_div
+        if T_crop == 0:
+            raise ValueError(
+                f"prompt has {T_in} frames; need at least {t_div} "
+                f"(vae.t_down x mouth tube t)")
+        if T_crop != T_in:
+            s0 = (T_in - T_crop) // 2
+            frames = frames[:, :, s0:s0 + T_crop]
         z_v0 = model.apply(var, frames, method=model.encode_video)
         rng, k = jax.random.split(rng)
         z_init = jax.random.normal(k, (B, Ca, Fa), jnp.float32)

@@ -204,16 +204,15 @@ def ddim_step(
     sqrt_omb_t = jnp.sqrt(jnp.clip(1.0 - a_t, 0.0, None))
     sqrt_a_prev = jnp.sqrt(a_prev)
 
-    if param == "eps":
-        x0_pred = (x_t - sqrt_omb_t * eps_hat) / jnp.clip(sqrt_a_t, 1e-8, None)
-    elif param == "x0":
-        x0_pred = eps_hat
+    # x0 estimate: ONE conversion table shared with dpmpp_2m_step
+    x0_pred = to_x0_pred(x_t, eps_hat, a_t, param=param)
+    # eps side of the pair (per-param forms kept: "eps" uses the model
+    # output verbatim, "v" uses the exact rotation — re-deriving either
+    # from x0_pred would change numerics through the clamps)
+    if param == "x0":
         eps_hat = (x_t - sqrt_a_t * x0_pred) / jnp.clip(sqrt_omb_t, 1e-4, None)
     elif param == "v":
-        x0_pred = sqrt_a_t * x_t - sqrt_omb_t * eps_hat
         eps_hat = sqrt_omb_t * x_t + sqrt_a_t * eps_hat
-    else:
-        raise ValueError(f"param must be 'eps'|'x0'|'v', got {param!r}")
     if clip_x0 is not None:
         # clip the denoised estimate to the data range (standard for
         # pixel-space sampling: at large t, 1/sqrt(a_bar) amplifies epsilon

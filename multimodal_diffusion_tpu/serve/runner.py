@@ -60,6 +60,7 @@ class WorkItem:
     out: Optional[np.ndarray] = None
     error: Optional[str] = None
     done: threading.Event = field(default_factory=threading.Event)
+    enq_t: float = 0.0  # monotonic admission time (set by submit_items)
 
     @property
     def key(self) -> Tuple:
@@ -85,14 +86,19 @@ class BatchScheduler:
 
     `run_batch(items)` is the injected executor (the runner binds it to the
     batched scan sampler); every call receives items sharing one
-    (direction, shape) key.  The fullest queue is served first, up to
-    `max_batch` items per device call."""
+    (direction, shape) key.  The fullest queue is served first — UNLESS some
+    queue's head item has waited longer than `fairness_age_s`, in which case
+    the oldest head wins: without aging, a sustained stream on one key
+    (e.g. streaming windows refilling the queue as fast as it drains) would
+    starve a minority-shape request forever."""
 
     def __init__(self, run_batch: Callable[[List[WorkItem]], None],
-                 max_batch: int = 8, max_queue: int = 64):
+                 max_batch: int = 8, max_queue: int = 64,
+                 fairness_age_s: float = 10.0):
         self._run = run_batch
         self.max_batch = int(max_batch)
         self.max_queue = int(max_queue)
+        self.fairness_age_s = float(fairness_age_s)
         self._cv = threading.Condition()
         self._queues: Dict[Tuple, Deque[WorkItem]] = {}
         self._n_queued = 0
@@ -130,6 +136,7 @@ class BatchScheduler:
                             f"queue full ({self.max_queue} items) — "
                             "backpressure timeout")
                     return False
+                it.enq_t = time.monotonic()
                 self._queues.setdefault(it.key, deque()).append(it)
                 self._n_queued += 1
                 self._cv.notify_all()
@@ -143,7 +150,12 @@ class BatchScheduler:
                 self._cv.wait()
             if self._stop.is_set():
                 return None
-            key = max(self._queues, key=lambda k: len(self._queues[k]))
+            oldest = min(self._queues, key=lambda k: self._queues[k][0].enq_t)
+            if (time.monotonic() - self._queues[oldest][0].enq_t
+                    > self.fairness_age_s):
+                key = oldest  # anti-starvation: serve the longest waiter
+            else:
+                key = max(self._queues, key=lambda k: len(self._queues[k]))
             dq = self._queues[key]
             batch = [dq.popleft()
                      for _ in range(min(self.max_batch, len(dq)))]
@@ -374,12 +386,20 @@ class InferenceRunner:
 
     def watch(self, inbox, poll_s: float = 0.5,
               stop_event: Optional[threading.Event] = None,
-              drain_timeout: float = 600.0):
+              drain_timeout: float = 600.0,
+              submit_timeout: float = 120.0):
         """Poll `inbox` for `*.json` request files until stop_event (or a
         file named `STOP` appears).  Results are written per request AS IT
         COMPLETES.  `seen` is pruned to files still on disk, so long-lived
         daemons don't grow state for deleted requests (deleting and
-        re-creating a request file re-runs it)."""
+        re-creating a request file re-runs it).
+
+        `submit_timeout` bounds how long one request's admission may block
+        the watch loop when the queue is full (e.g. the device wedged
+        mid-batch — a documented tunneled-TPU failure mode): past it the
+        request fails with the backpressure error and gets its result file,
+        and the loop returns to checking STOP/stop_event instead of
+        blocking forever in submit."""
         inbox = Path(inbox)
         seen: set = set()
         inflight: Dict[Path, Request] = {}
@@ -407,7 +427,7 @@ class InferenceRunner:
                     inflight[p] = self.submit(Request(
                         id=str(it.get("id", p.stem)),
                         direction=it["direction"], input_path=it["input"],
-                        output_path=it["output"]))
+                        output_path=it["output"]), timeout=submit_timeout)
                 except Exception as e:
                     p.with_suffix(".result.json").write_text(
                         json.dumps({"ok": False, "error": str(e)}))

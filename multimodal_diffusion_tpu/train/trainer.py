@@ -354,7 +354,11 @@ def build_eval_step(
         if model.cfg.mouth_enabled:
             # audio-target loss with the mouth conditioning ACTIVE (the
             # sampling-time v2a configuration); the first forward keeps it
-            # zeroed so loss_v never sees clean target pixels
+            # zeroed so loss_v never sees clean target pixels.  This is a
+            # second full forward (~2x eval cost) — acceptable because
+            # validation is opt-in (val_every) and bounded to n_batches;
+            # sharing the encodes would need a split model API for a
+            # non-hot path
             out_m = model.apply(
                 {"params": params}, video, batch["audio"], t_v, t_a,
                 noise_v, noise_a, abar_v, abar_a, deterministic=True,
