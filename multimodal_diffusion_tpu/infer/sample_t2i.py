@@ -69,9 +69,10 @@ def main(argv=None):
     guidance = args.guidance if args.guidance is not None else float(
         cfg.get("sampling", {}).get("guidance_scale", 5.0))
     negative = args.negative if args.negative else None
+    sampler = str(cfg.get("sampling", {}).get("sampler", "ddim"))
     imgs = sample_images(model, params, args.prompt, negative=negative,
                          sampler_steps=steps, guidance_scale=guidance,
-                         rng=jax.random.PRNGKey(args.seed))
+                         rng=jax.random.PRNGKey(args.seed), sampler=sampler)
 
     from PIL import Image
 

@@ -197,13 +197,22 @@ def make_t2i_train_step(model: Text2ImageModel, tx, cfg_drop_prob: float = 0.1):
 
 
 def make_t2i_sampler(model: Text2ImageModel, sampler_steps: int = 50,
-                     guidance_scale: float = 5.0, eta: float = 0.0):
+                     guidance_scale: float = 5.0, eta: float = 0.0,
+                     sampler: str = "ddim"):
     """Returns sample(params, ids, neg_ids, rng, batch) -> latents.
 
     Batched CFG: [cond; negative] stacked on batch, one forward per step.
     `neg_ids` defaults to empty text (pure unconditional null branch);
     passing a real negative prompt steers away from it.
+
+    `sampler`: "ddim" or "dpmpp_2m" (2nd-order multistep ODE solver —
+    same step quality at roughly half the steps; deterministic, eta must
+    be 0).  Same switch as the AV path (infer/ddim.py).
     """
+    if sampler not in {"ddim", "dpmpp_2m"}:
+        raise ValueError(f"sampler must be ddim|dpmpp_2m, got {sampler!r}")
+    if sampler == "dpmpp_2m" and eta > 0.0:
+        raise ValueError("dpmpp_2m is deterministic; eta must be 0")
     c = model.cfg
     betas = S.make_beta_schedule(c.steps, c.schedule, c.min_beta, c.max_beta)
     _, abar_np = S.alphas_cumprod_from_betas(betas)
@@ -231,7 +240,7 @@ def make_t2i_sampler(model: Text2ImageModel, sampler_steps: int = 50,
         z = jax.random.normal(k0, (B,) + lat, jnp.float32)
 
         def body(carry, tt):
-            z, key = carry
+            z, key, x0_prev, h_prev = carry
             t_now, t_prev = tt[0], tt[1]
             t2 = jnp.full((2 * B,), t_now, jnp.int32)
             z2 = jnp.concatenate([z, z], axis=0)
@@ -242,14 +251,19 @@ def make_t2i_sampler(model: Text2ImageModel, sampler_steps: int = 50,
             key, kz = jax.random.split(key)
             tb = jnp.full((B,), t_now, jnp.int32)
             pb = jnp.full((B,), t_prev, jnp.int32)
-            if eta > 0.0:
+            if sampler == "dpmpp_2m":
+                z, x0_prev, h_prev = S.dpmpp_2m_step(
+                    z, tb, pb, eps_hat, abar, x0_prev, h_prev)
+            elif eta > 0.0:
                 noise = jax.random.normal(kz, z.shape, jnp.float32)
                 z = S.ddim_step(z, tb, pb, eps_hat, abar, eta=eta, noise=noise)
             else:
                 z = S.ddim_step(z, tb, pb, eps_hat, abar, eta=0.0)
-            return (z, key), None
+            return (z, key, x0_prev, h_prev), None
 
-        (z_final, _), _ = jax.lax.scan(body, (z, rng), pairs)
+        x0_0 = jnp.zeros_like(z)
+        h_0 = jnp.zeros((B,) + (1,) * (z.ndim - 1), jnp.float32)
+        (z_final, _, _, _), _ = jax.lax.scan(body, (z, rng, x0_0, h_0), pairs)
         return z_final
 
     return sample
@@ -257,7 +271,7 @@ def make_t2i_sampler(model: Text2ImageModel, sampler_steps: int = 50,
 
 def sample_images(model: Text2ImageModel, params, prompts, negative=None,
                   sampler_steps: int = 50, guidance_scale: float = 5.0,
-                  rng=None) -> np.ndarray:
+                  rng=None, sampler: str = "ddim") -> np.ndarray:
     """Convenience end-to-end: prompts -> uint8 images [B, H, W, 3]."""
     c = model.cfg
     ids = jnp.asarray(tokenize_text(prompts, c.text.max_len))
@@ -266,7 +280,8 @@ def sample_images(model: Text2ImageModel, params, prompts, negative=None,
         c.text.max_len,
     ))
     rng = rng if rng is not None else jax.random.PRNGKey(0)
-    sample = jax.jit(make_t2i_sampler(model, sampler_steps, guidance_scale))
+    sample = jax.jit(make_t2i_sampler(model, sampler_steps, guidance_scale,
+                                      sampler=sampler))
     z = sample(params, ids, neg, rng)
     x = model.apply({"params": params}, z, method=model.decode_image)
     x = np.asarray(jax.device_get(jnp.clip(x, -1, 1)))

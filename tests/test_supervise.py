@@ -92,3 +92,29 @@ def test_crashing_child_is_restarted(tmp_path):
     assert r.returncode == 0, r.stdout + r.stderr
     assert "rc=7" in r.stdout
     assert "completed cleanly" in r.stdout
+
+
+def test_launch_failures_have_own_budget(tmp_path):
+    """A child that dies before its FIRST progress (backend unavailable)
+    consumes the launch-failure budget — not the restart budget — and is
+    retried with the outage backoff until the budget runs out."""
+    import textwrap
+
+    child = tmp_path / "child.py"
+    child.write_text(textwrap.dedent("""
+        import sys
+        sys.exit(13)  # dies before any progress-file growth
+    """))
+    progress = tmp_path / "metrics.jsonl"
+    cmd = [sys.executable, str(SUPERVISE),
+           "--progress-file", str(progress),
+           "--startup-seconds", "60", "--stall-seconds", "60",
+           "--grace-seconds", "2",
+           "--max-restarts", "0",          # no ordinary restarts at all
+           "--max-launch-failures", "3",
+           "--outage-backoff-seconds", "0.1",
+           "--", sys.executable, str(child)]
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
+    assert r.returncode == 13, r.stdout + r.stderr
+    assert "launch failure 3/3" in r.stdout
+    assert "giving up: 4 launch failures" in r.stdout

@@ -163,3 +163,22 @@ def test_griffin_lim_reconstructs_tone():
     spec = np.abs(np.fft.rfft(y_rec[500:3500]))
     freq = np.fft.rfftfreq(3000, 1.0 / sr)
     assert abs(freq[int(np.argmax(spec))] - 440.0) < 10.0
+
+
+def test_t2i_dpmpp_sampler(t2i):
+    """sampler="dpmpp_2m" on the t2i scan (same switch as the AV path):
+    finite output, differs from DDIM at the same budget, eta guard."""
+    from multimodal_diffusion_tpu.models.latent_text2image import (
+        make_t2i_sampler, sample_images,
+    )
+
+    model, params, _, _ = t2i
+    imgs_dpm = sample_images(model, params, ["a cat"], sampler_steps=4,
+                             guidance_scale=4.0, sampler="dpmpp_2m")
+    assert imgs_dpm.shape == (1, 16, 16, 3) and imgs_dpm.dtype == np.uint8
+    imgs_ddim = sample_images(model, params, ["a cat"], sampler_steps=4,
+                              guidance_scale=4.0)
+    assert not np.array_equal(imgs_dpm, imgs_ddim)
+
+    with pytest.raises(ValueError, match="deterministic"):
+        make_t2i_sampler(model, 4, 4.0, eta=0.5, sampler="dpmpp_2m")

@@ -50,8 +50,9 @@ def _size(p: Path) -> int:
 
 
 def run_once(cmd, progress: Path, startup_s: float, stall_s: float,
-             grace_s: float, log) -> tuple[int, bool]:
-    """Run cmd until exit or stall.  Returns (returncode, stalled)."""
+             grace_s: float, log) -> tuple[int, bool, bool]:
+    """Run cmd until exit or stall.
+    Returns (returncode, stalled, made_progress)."""
     base = _size(progress)
     proc = subprocess.Popen(cmd)
     log(f"[supervise] launched pid {proc.pid}")
@@ -62,7 +63,11 @@ def run_once(cmd, progress: Path, startup_s: float, stall_s: float,
         while True:
             rc = proc.poll()
             if rc is not None:
-                return rc, False
+                # final size check: a child can progress and exit between
+                # 5 s polls — that's a run failure, not a launch failure
+                if _size(progress) > base:
+                    grew_once = True
+                return rc, False, grew_once
             now = time.time()
             size = _size(progress)
             if size > base:
@@ -83,7 +88,7 @@ def run_once(cmd, progress: Path, startup_s: float, stall_s: float,
                         f"{grace_s:.0f}s grace")
                     proc.kill()
                     proc.wait()
-                return proc.returncode, True
+                return proc.returncode, True, grew_once
             time.sleep(5.0)
     finally:
         if proc.poll() is None:  # supervisor itself interrupted
@@ -102,6 +107,14 @@ def main(argv=None):
     ap.add_argument("--grace-seconds", type=float, default=120.0)
     ap.add_argument("--max-restarts", type=int, default=8)
     ap.add_argument("--backoff-seconds", type=float, default=60.0)
+    ap.add_argument("--max-launch-failures", type=int, default=48,
+                    help="separate, larger budget for exits that never made "
+                         "progress (backend UNAVAILABLE during an "
+                         "infrastructure outage — not a code bug; observed "
+                         "multi-hour TPU-tunnel outages on this host)")
+    ap.add_argument("--outage-backoff-seconds", type=float, default=300.0,
+                    help="backoff between launch-failure retries (don't "
+                         "hammer a down tunnel)")
     ap.add_argument("cmd", nargs=argparse.REMAINDER,
                     help="-- command to run")
     args = ap.parse_args(argv)
@@ -114,25 +127,40 @@ def main(argv=None):
     def log(msg):
         print(msg, flush=True)
 
+    # SIGTERM to the supervisor must still tear down the child (Python's
+    # default SIGTERM handling skips finally blocks)
+    signal.signal(signal.SIGTERM, lambda *_: sys.exit(143))
+
     attempt = 0
+    launch_fails = 0
     rc = 1
     while attempt <= args.max_restarts:
-        if attempt:
-            log(f"[supervise] restart {attempt}/{args.max_restarts} after "
-                f"{args.backoff_seconds:.0f}s backoff")
-            time.sleep(args.backoff_seconds)
-        rc, stalled = run_once(cmd, args.progress_file,
-                               args.startup_seconds, args.stall_seconds,
-                               args.grace_seconds, log)
-        if not stalled:
-            if rc == 0:
-                log("[supervise] child completed cleanly")
-            else:
-                log(f"[supervise] child exited rc={rc} (not a stall); "
-                    f"restarting")
-        attempt += 1
+        rc, stalled, progressed = run_once(
+            cmd, args.progress_file, args.startup_seconds,
+            args.stall_seconds, args.grace_seconds, log)
         if rc == 0:
+            log("[supervise] child completed cleanly")
             return 0
+        if not stalled and not progressed:
+            # never reached a first logged step: launch/backend failure
+            # (e.g. tunnel outage), not a training bug — separate budget,
+            # longer backoff
+            launch_fails += 1
+            if launch_fails > args.max_launch_failures:
+                log(f"[supervise] giving up: {launch_fails} launch failures")
+                return rc if rc else 1
+            log(f"[supervise] launch failure {launch_fails}/"
+                f"{args.max_launch_failures} (rc={rc}, no progress); "
+                f"retrying after {args.outage_backoff_seconds:.0f}s")
+            time.sleep(args.outage_backoff_seconds)
+            continue
+        attempt += 1
+        if attempt > args.max_restarts:
+            break
+        kind = "stall" if stalled else f"rc={rc}"
+        log(f"[supervise] restart {attempt}/{args.max_restarts} ({kind}) "
+            f"after {args.backoff_seconds:.0f}s backoff")
+        time.sleep(args.backoff_seconds)
     log(f"[supervise] giving up after {args.max_restarts} restarts")
     return rc if rc else 1
 
