@@ -353,4 +353,21 @@ def bench_t2i(args):
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001 — gate below is narrow
+        # The tunneled TPU intermittently reports UNAVAILABLE for minutes
+        # at a time (observed multi-hour outages with recovery).  jax
+        # latches a failed backend in-process, so retry by re-exec'ing —
+        # a failed headline bench from a transient outage is worse than a
+        # delayed one.
+        import os
+
+        left = int(os.environ.get("BENCH_UNAVAILABLE_RETRIES", "3"))
+        if "UNAVAILABLE" in str(e) and left > 0:
+            os.environ["BENCH_UNAVAILABLE_RETRIES"] = str(left - 1)
+            print(f"[bench] backend unavailable; re-exec in 240s "
+                  f"({left} retries left)", file=sys.stderr, flush=True)
+            time.sleep(240)
+            os.execv(sys.executable, [sys.executable] + sys.argv)
+        raise
