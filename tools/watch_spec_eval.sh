@@ -1,0 +1,35 @@
+#!/bin/bash
+# Watch runs/specificity2/checkpoints for new steps; run a small held-out
+# specificity eval (CPU backend, n=8) per new checkpoint and store
+# runs/specificity2/eval_<step>.json.  Cheap in-round evidence of
+# corr_gen - corr_shuf separation while the 100k-step run is in flight.
+cd "$(dirname "$0")/.."
+DIR=runs/specificity2/checkpoints
+OUT=runs/specificity2
+while true; do
+  for d in "$DIR"/*/; do
+    step=$(basename "$d")
+    [[ "$step" =~ ^[0-9]+$ ]] || continue
+    out="$OUT/eval_${step}.json"
+    [[ -f "$out" || -f "$out.running" ]] && continue
+    touch "$out.running"
+    echo "[watch_spec_eval] $(date -u +%H:%M:%S) evaluating step $step"
+    ov="$OUT/.eval_${step}.yaml"
+    printf 'paths:\n  ckpt_path: "%s/%s"\n' "$DIR" "$step" > "$ov"
+    timeout 7200 python tools/eval_av_quality.py \
+      --config configs/mvp.yaml configs/specificity2.yaml \
+               configs/specificity2_eval.yaml "$ov" \
+      --n 8 --ema --seed 0 --device cpu \
+      --out "$out" >> "$OUT/eval_watch.log" 2>&1 \
+      && python - "$out" <<'PY'
+import json, sys
+d = json.load(open(sys.argv[1]))["mean"]
+sep = d["av_sync_corr_gen"] - d["av_sync_corr_shuf"]
+print(f"[watch_spec_eval] {sys.argv[1]}: corr_gen={d['av_sync_corr_gen']:.3f} "
+      f"corr_shuf={d['av_sync_corr_shuf']:.3f} sep={sep:+.3f} "
+      f"logmel_l1={d['logmel_l1']:.3f}")
+PY
+    rm -f "$out.running"
+  done
+  sleep 120
+done
