@@ -49,6 +49,9 @@ def main(argv=None):
                          "(default: configs/mvp.yaml)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (debug)")
+    ap.add_argument("--quant", choices=["none", "int8"], default="none",
+                    help="t2i task only: reduced-precision MXU path for the "
+                         "denoiser core's hot projections (ops/quant.py)")
     args = ap.parse_args(argv)
     if args.task == "t2i":
         return bench_t2i(args)
@@ -276,7 +279,7 @@ def bench_t2i(args):
         # 128-lane tiles full (matches configs/t2i_512.yaml; measured
         # 52.5 -> 72.4 TF/s on the core forward)
         core=MMDiTConfig(d_model=512, n_layers=8, n_heads=4, dropout=0.0,
-                         seq_multiple=128, dtype=dtype),
+                         seq_multiple=128, quant=args.quant, dtype=dtype),
         dtype=dtype,
     )
     model = Text2ImageModel(cfg)
@@ -343,7 +346,9 @@ def bench_t2i(args):
             vs = imgs_per_sec / float(ref)
     print(json.dumps({
         "metric": f"t2i{args.image_size}_images_per_sec_{args.steps}step_"
-                  f"cfg_b{B}_{jax.default_backend()}",
+                  f"cfg_b{B}"
+                  + (f"_{args.quant}" if args.quant != "none" else "")
+                  + f"_{jax.default_backend()}",
         "value": round(imgs_per_sec, 4),
         "unit": "images/sec/chip",
         "vs_baseline": round(vs, 2),

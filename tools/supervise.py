@@ -53,7 +53,11 @@ def run_once(cmd, progress: Path, startup_s: float, stall_s: float,
              grace_s: float, log) -> tuple[int, bool, bool]:
     """Run cmd until exit or stall.
     Returns (returncode, stalled, made_progress)."""
-    base = _size(progress)
+    # clamp to 0: a missing file reads -1, and the transition missing -> empty
+    # (the trainer creating metrics.jsonl before its long upload/compile
+    # phase) must NOT count as first progress — that would swap the generous
+    # startup deadline for the tight stall deadline while zero steps have run
+    base = max(_size(progress), 0)
     proc = subprocess.Popen(cmd)
     log(f"[supervise] launched pid {proc.pid}")
     started = time.time()
