@@ -103,6 +103,12 @@ CROSS_RULES = [
     (lambda c: not _get(c, "parallel.context_flash")
      or int(_get(c, "parallel.context") or 1) > 1,
      "parallel.context_flash requires parallel.context > 1"),
+    # with the diffusion gradient stopped at the encoder outputs,
+    # reconstruction is the encoders' ONLY training signal — without it
+    # they would never train at all
+    (lambda c: not _get(c, "model.encoder_stopgrad")
+     or float(_get(c, "training.recon_loss_weight") or 0.0) > 0.0,
+     "model.encoder_stopgrad requires training.recon_loss_weight > 0"),
 ]
 
 

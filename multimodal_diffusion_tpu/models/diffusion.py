@@ -88,6 +88,24 @@ class AVDiffusionConfig:
     # unit-scale latents, which is exactly what DDIM hands it at sampling
     # time.  Default False = reference semantics / old checkpoints.
     latent_rmsnorm: bool = False
+    # model.encoder_stopgrad: stop the DIFFUSION loss's gradient at the
+    # encoder outputs, so the encoders train on reconstruction (+alignment)
+    # only — the one-run equivalent of two-stage latent-diffusion training
+    # (VAE first, denoiser second).  Why: with joint training the denoising
+    # objective is minimized by making its own targets predictable, i.e. by
+    # collapsing the latents; latent_rmsnorm removes the SCALE collapse
+    # direction, but round-3's v2 run showed the encoder then routes the
+    # same collapse through a shared-mean direction instead (measured with
+    # tools/latent_probe.py: pairwise cosine between different clips' unit-rms
+    # latents 0.9997 at 5k steps -> 0.99996 at 20k, per-clip deviation ~0.4%
+    # of magnitude = ~-48 dB under the diffusion noise).  Stopping the
+    # diffusion gradient removes the incentive entirely: reconstruction is
+    # the encoders' only trainer, and recon is only solvable with latents
+    # that distinguish clips.  Requires training.recon_loss_weight > 0
+    # (validate_config enforces this).  Default False = reference semantics
+    # (/root/reference/avdiff/models/train/trainer.py:297-301 backprops the
+    # diffusion loss into both encoders — with NO recon loss at all).
+    encoder_stopgrad: bool = False
     dtype: Any = jnp.float32
 
     @classmethod
@@ -155,6 +173,7 @@ class AVDiffusionConfig:
             mouth_tube=(int(mtube.get("t", 2)), int(mtube.get("h", 8)),
                         int(mtube.get("w", 8))),
             latent_rmsnorm=bool(cfg["model"].get("latent_rmsnorm", False)),
+            encoder_stopgrad=bool(cfg["model"].get("encoder_stopgrad", False)),
             dtype=dtype,
         )
 
@@ -455,8 +474,15 @@ class AVDiffusionModel(nn.Module):
             # checkpoint schema and needs decoder params present)
             self.decode_video(z_v0)
             self.decode_audio(z_a0)
-        z_vt, eps_v = q_sample(z_v0, t_v, alpha_bar_v, eps=noise_v)
-        z_at, eps_a = q_sample(z_a0, t_a, alpha_bar_a, eps=noise_a)
+        # Denoising path: optionally stop-gradded latents (see
+        # cfg.encoder_stopgrad) — the recon path below keeps the live z so
+        # reconstruction remains the encoders' gradient source.
+        z_v0_d, z_a0_d = z_v0, z_a0
+        if self.cfg.encoder_stopgrad:
+            z_v0_d = jax.lax.stop_gradient(z_v0)
+            z_a0_d = jax.lax.stop_gradient(z_a0)
+        z_vt, eps_v = q_sample(z_v0_d, t_v, alpha_bar_v, eps=noise_v)
+        z_at, eps_a = q_sample(z_a0_d, t_a, alpha_bar_a, eps=noise_a)
         t, h, w = self.cfg.tube
         grid = (z_vt.shape[2] // t, z_vt.shape[3] // h, z_vt.shape[4] // w)
         tok_m = mgrid = None
@@ -478,9 +504,9 @@ class AVDiffusionModel(nn.Module):
             tok_m=tok_m, keep_m=keep_m, mouth_grid=mgrid,
         )
         out["eps_true_v"] = self.tokenize_video(
-            prediction_target(z_v0, eps_v, t_v, alpha_bar_v, self.cfg.param_v))
+            prediction_target(z_v0_d, eps_v, t_v, alpha_bar_v, self.cfg.param_v))
         out["eps_true_a"] = self.tokenize_audio(
-            prediction_target(z_a0, eps_a, t_a, alpha_bar_a, self.cfg.param_a))
+            prediction_target(z_a0_d, eps_a, t_a, alpha_bar_a, self.cfg.param_a))
         if with_recon:
             out["recon_v"] = self.decode_video(
                 z_v0, out_size=tuple(video.shape[2:]))

@@ -397,3 +397,83 @@ def test_latent_rmsnorm_unit_scale_and_trains():
                  jnp.asarray(rng.standard_normal(zs["z_video"]), jnp.float32),
                  jnp.asarray(rng.standard_normal(zs["z_audio"]), jnp.float32))
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+# ------------------------- encoder stop-gradient -------------------------
+
+
+def test_encoder_stopgrad_blocks_diffusion_grads():
+    """model.encoder_stopgrad: the diffusion loss alone yields EXACTLY zero
+    gradient in both autoencoders (their only trainer is then the recon
+    loss), while the core still gets full gradients; disabled = reference
+    semantics (nonzero encoder grads from the diffusion loss)."""
+    import optax
+
+    from multimodal_diffusion_tpu.models.diffusion import (
+        AVDiffusionConfig, AVDiffusionModel)
+    from multimodal_diffusion_tpu.ops import schedule as S
+
+    def diffusion_grads(stopgrad, with_recon=False):
+        cfg = copy.deepcopy(tiny_cfg())
+        cfg["model"]["encoder_stopgrad"] = stopgrad
+        model = AVDiffusionModel(AVDiffusionConfig.from_config(cfg))
+        rng = np.random.default_rng(0)
+        B = 2
+        video = jnp.asarray(rng.uniform(0, 1, (B, 3, 8, 32, 32)), jnp.float32)
+        audio = jnp.asarray(rng.uniform(-1, 1, (B, 1, 8000)), jnp.float32)
+        t_v = jnp.asarray([3, 50], jnp.int32)
+        t_a = jnp.asarray([7, 90], jnp.int32)
+        noise_v = jnp.asarray(rng.standard_normal((B, 8, 2, 4, 4)), jnp.float32)
+        noise_a = jnp.asarray(rng.standard_normal((B, 8, 50)), jnp.float32)
+        betas = S.make_beta_schedule(100, "cosine", 1e-4, 0.02)
+        _, abar = S.alphas_cumprod_from_betas(betas)
+        abar = jnp.asarray(abar, jnp.float32)
+        params = model.init({"params": jax.random.PRNGKey(0)}, video, audio,
+                            t_v, t_a, noise_v, noise_a, abar, abar)["params"]
+
+        def loss_fn(p):
+            out = model.apply({"params": p}, video, audio, t_v, t_a,
+                              noise_v, noise_a, abar, abar,
+                              with_recon=with_recon)
+            loss = (jnp.mean((out["eps_v"] - out["eps_true_v"]) ** 2)
+                    + jnp.mean((out["eps_a"] - out["eps_true_a"]) ** 2))
+            if with_recon:
+                loss = loss + jnp.mean((out["recon_v"] - video) ** 2) \
+                    + jnp.mean((out["recon_a"] - audio) ** 2)
+            return loss
+
+        g = jax.grad(loss_fn)(params)
+        norms = {k: float(optax.global_norm(g[k]))
+                 for k in ("vid_vae", "aud_codec", "core")}
+        return norms
+
+    on = diffusion_grads(stopgrad=True)
+    assert on["vid_vae"] == 0.0 and on["aud_codec"] == 0.0, on
+    assert on["core"] > 0.0
+
+    off = diffusion_grads(stopgrad=False)
+    assert off["vid_vae"] > 0.0 and off["aud_codec"] > 0.0, off
+
+    # recon restores encoder gradients even with the diffusion path stopped
+    both = diffusion_grads(stopgrad=True, with_recon=True)
+    assert both["vid_vae"] > 0.0 and both["aud_codec"] > 0.0, both
+
+
+def test_encoder_stopgrad_validator_rule():
+    """validate_config rejects encoder_stopgrad without a recon loss."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "configs"))
+    try:
+        from validate_config import validate
+    finally:
+        sys.path.pop(0)
+
+    cfg = copy.deepcopy(tiny_cfg())
+    cfg["model"]["encoder_stopgrad"] = True
+    cfg["training"]["recon_loss_weight"] = 0.0
+    errs = validate(cfg)
+    assert any("recon_loss_weight" in e for e in errs), errs
+    cfg["training"]["recon_loss_weight"] = 1.0
+    assert not any("recon_loss_weight" in e for e in validate(cfg))

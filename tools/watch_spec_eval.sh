@@ -1,11 +1,18 @@
 #!/bin/bash
-# Watch runs/specificity2/checkpoints for new steps; run a small held-out
-# specificity eval (CPU backend, n=8) per new checkpoint and store
-# runs/specificity2/eval_<step>.json.  Cheap in-round evidence of
-# corr_gen - corr_shuf separation while the 100k-step run is in flight.
+# Watch a specificity run's checkpoint dir for new steps; run a small
+# held-out specificity eval (CPU backend, n=8) per new checkpoint and store
+# <run_dir>/eval_<step>.json.  Cheap in-round evidence of
+# corr_gen - corr_shuf separation while a 100k-step run is in flight.
+#
+# Usage: tools/watch_spec_eval.sh [run_dir] [overlay.yaml ...]
+#   defaults: runs/specificity3 with the v3 config + its eval overlay
 cd "$(dirname "$0")/.."
-DIR=runs/specificity2/checkpoints
-OUT=runs/specificity2
+OUT=${1:-runs/specificity3}
+shift || true
+if [ $# -gt 0 ]; then CFGS=("$@"); else
+  CFGS=(configs/specificity3.yaml configs/specificity3_eval.yaml)
+fi
+DIR="$OUT/checkpoints"
 while true; do
   for d in "$DIR"/*/; do
     step=$(basename "$d")
@@ -17,8 +24,7 @@ while true; do
     ov="$OUT/.eval_${step}.yaml"
     printf 'paths:\n  ckpt_path: "%s/%s"\n' "$DIR" "$step" > "$ov"
     timeout 7200 python tools/eval_av_quality.py \
-      --config configs/mvp.yaml configs/specificity2.yaml \
-               configs/specificity2_eval.yaml "$ov" \
+      --config configs/mvp.yaml "${CFGS[@]}" "$ov" \
       --n 8 --ema --seed 0 --device cpu \
       --out "$out" >> "$OUT/eval_watch.log" 2>&1 \
       && python - "$out" <<'PY'
