@@ -41,6 +41,12 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", type=Path, default=None)
     ap.add_argument("--device", type=str, default=None)
+    ap.add_argument("--cond-sensitivity", action="store_true", default=True,
+                    help="also sample once with MISMATCHED video prompts "
+                         "(same noise) and report how different the audio "
+                         "is — 0 means conditioning is ignored")
+    ap.add_argument("--no-cond-sensitivity", dest="cond_sensitivity",
+                    action="store_false")
     args = ap.parse_args(argv)
 
     from multimodal_diffusion_tpu.datasets.av_manifest import AVClipsDataset
@@ -88,6 +94,21 @@ def main(argv=None):
     )
     gen_wavs = out["audio"]  # [n, L]
 
+    gen_wavs_mis = None
+    if args.cond_sensitivity and n > 1:
+        # conditioning-sensitivity probe: same seed/noise, MISMATCHED video
+        # (batch rolled by 1).  A model that ignores its conditioning
+        # produces bit-identical audio for both prompts -> sensitivity 0;
+        # a model that reads the video produces different audio.  This
+        # isolates "does conditioning flow?" from the (noisy) question
+        # "is the generated envelope correlated with THIS clip's motion?"
+        out_mis = sample_one_direction(
+            cfg=cfg, model=model, params=params, prompt_modality="video",
+            prompt_video=np.roll(batch, 1, axis=0),
+            rng=__import__("jax").random.PRNGKey(args.seed),
+        )
+        gen_wavs_mis = out_mis["audio"]
+
     rows = []
     rng = np.random.default_rng(args.seed)
     for j in range(n):
@@ -109,6 +130,11 @@ def main(argv=None):
                                             fps=fps)
             row["av_sync_corr_shuf"] = corr_shuf
             row["logmel_l1_shuf"] = logmel_l1(real_wavs[other], gen, sr)
+        if gen_wavs_mis is not None:
+            row["cond_sensitivity_logmel"] = logmel_l1(
+                gen, gen_wavs_mis[j], sr)
+            row["cond_sensitivity_wav_l2"] = float(
+                np.sqrt(np.mean((gen - gen_wavs_mis[j]) ** 2)))
         rows.append(row)
 
     report = {k: float(np.mean([r[k] for r in rows])) for k in rows[0]}
