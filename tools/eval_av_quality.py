@@ -130,6 +130,21 @@ def main(argv=None):
                                             fps=fps)
             row["av_sync_corr_shuf"] = corr_shuf
             row["logmel_l1_shuf"] = logmel_l1(real_wavs[other], gen, sr)
+            # metric CEILING anchor: the same shuffle applied to the REAL
+            # audio.  If corr_real - corr_real_shuf is small, envelope
+            # correlation cannot separate matched from mismatched clips on
+            # this corpus even for ground truth, and the retrieval metric
+            # below is the honest specificity readout.
+            _, corr_real_shuf = estimate_av_sync(frames_list[other], real,
+                                                 sr=sr, fps=fps)
+            row["av_sync_corr_real_shuf"] = corr_real_shuf
+            # top-1 retrieval: does the generated audio sit closer (logmel
+            # L1) to ITS OWN clip's real audio than to every other clip's?
+            # chance = 1/n; per-clip specificity directly, no envelope proxy
+            dists = [logmel_l1(real_wavs[m], gen, sr) for m in range(n)]
+            row["retrieval_top1"] = float(int(np.argmin(dists)) == j)
+            row["retrieval_margin"] = float(
+                np.min([dists[m] for m in range(n) if m != j]) - dists[j])
         if gen_wavs_mis is not None:
             row["cond_sensitivity_logmel"] = logmel_l1(
                 gen, gen_wavs_mis[j], sr)
