@@ -1,0 +1,40 @@
+#!/bin/bash
+# Milestone eval sweep for a finished specificity run — on the TPU (fast;
+# run ONLY when training has released the chip: two processes can't share
+# it).  Produces <run_dir>/evalN_<step>.json per milestone with the full
+# metric set (incl. retrieval_top1 and the cond-sensitivity probe).
+#
+# Usage: tools/spec_eval_sweep.sh [run_dir] [n] [step ...]
+#   defaults: runs/specificity3, n=16, every 25k milestone + 5k
+cd "$(dirname "$0")/.."
+OUT=${1:-runs/specificity3}
+N=${2:-16}
+shift 2 2>/dev/null || shift $# 2>/dev/null
+STEPS=("$@")
+[ ${#STEPS[@]} -eq 0 ] && STEPS=(5000 25000 50000 75000 100000)
+CFG3=configs/specificity3.yaml
+for step in "${STEPS[@]}"; do
+  d="$OUT/checkpoints/$step"
+  [ -d "$d" ] || { echo "[sweep] skip $step (no checkpoint)"; continue; }
+  out="$OUT/evalN_${step}.json"
+  [ -f "$out" ] && { echo "[sweep] skip $step (done)"; continue; }
+  ov="$OUT/.evalN_${step}.yaml"
+  printf 'paths:\n  ckpt_path: "%s"\n' "$d" > "$ov"
+  echo "[sweep] step $step (n=$N)"
+  timeout 3600 python tools/eval_av_quality.py \
+    --config configs/mvp.yaml "$CFG3" configs/specificity3_eval.yaml "$ov" \
+    --n "$N" --ema --seed 0 --out "$out" || echo "[sweep] step $step FAILED"
+done
+python - "$OUT" <<'PY'
+import json, sys
+from pathlib import Path
+rows = sorted(Path(sys.argv[1]).glob("evalN_*.json"),
+              key=lambda p: int(p.stem.split("_")[1]))
+for p in rows:
+    d = json.load(open(p))["mean"]
+    print(f"step {p.stem.split('_')[1]:>6}: "
+          f"logmel={d['logmel_l1']:.3f} (shuf {d['logmel_l1_shuf']:.3f})  "
+          f"retrieval@1={d.get('retrieval_top1', float('nan')):.2f}  "
+          f"margin={d.get('retrieval_margin', float('nan')):+.3f}  "
+          f"cond_sens={d.get('cond_sensitivity_logmel', float('nan')):.3f}")
+PY
