@@ -64,6 +64,10 @@ RULES: List[Rule] = [
      "model.core.quant must be none|int8"),
     ("sampling.sampler", lambda v: v in {"ddim", "dpmpp_2m"},
      "sampling.sampler must be ddim|dpmpp_2m"),
+    ("training.sync_loss_weight", lambda v: float(v) >= 0.0,
+     "sync_loss_weight must be >= 0"),
+    ("training.sync_tau", lambda v: float(v) > 0.0,
+     "sync_tau must be > 0"),
 ]
 
 CROSS_RULES = [

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 
 
@@ -65,6 +66,61 @@ def alignment_loss(
     else:
         raise ValueError("Unknown alignment method")
     return weight * loss
+
+
+def sync_contrastive_loss(
+    h_video: jnp.ndarray,  # [B, Nv, d] contextualized video tokens
+    h_audio: jnp.ndarray,  # [B, Na, d] contextualized audio tokens
+    video_time_chunks: int,  # Tg: temporal extent of the video token grid
+    weight: float = 0.0,
+    tau: float = 0.1,
+) -> jnp.ndarray:
+    """Temporal InfoNCE between per-time video and audio features
+    (config `training.sync_loss_weight`; default 0.0 = off).
+
+    Why: `alignment_loss` mean-pools over TIME, so it can only teach
+    "this face goes with this voice" — never "the audio envelope follows
+    the mouth NOW".  The round-3 specificity-v3 result isolated exactly
+    that failure: spectral (content) specificity emerges while the
+    envelope-correlation gap stays at zero (PERFORMANCE.md "Specificity
+    v3").  This term supervises the "when" pathway directly, SyncNet /
+    AVE-Net style, but on the denoiser's own contextualized features so
+    the gradient shapes the representation the sampler actually uses.
+
+    Both token streams are bucketed to a common temporal length T*
+    (video: spatial mean per time chunk; audio: mean over frames per
+    bucket), L2-normalized, and scored [B, T*, T*] within each clip.
+    Positives are the matching time bucket; negatives are the SAME
+    clip's other time positions — speaker identity/timbre is useless
+    for telling them apart, so the only way to lower this loss is
+    temporal correspondence.  Symmetric v->a / a->v cross-entropy.
+
+    Static shapes throughout (reshape/mean/einsum only) — one compiled
+    step regardless of weight; weight == 0 compiles to a constant.
+    """
+    if weight <= 0.0:
+        return jnp.asarray(0.0, jnp.float32)
+    B, Nv, d = h_video.shape
+    Na = h_audio.shape[1]
+    Tg = max(1, min(int(video_time_chunks), Nv, Na))
+    # video: [B, Tg, S, d] spatial mean -> [B, Tg, d]
+    S = Nv // Tg
+    v = jnp.mean(
+        h_video[:, : Tg * S, :].astype(jnp.float32).reshape(B, Tg, S, d),
+        axis=2)
+    # audio: bucket Na frames into the same Tg positions
+    Fb = Na // Tg
+    a = jnp.mean(
+        h_audio[:, : Tg * Fb, :].astype(jnp.float32).reshape(B, Tg, Fb, d),
+        axis=2)
+    v = v / jnp.clip(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12, None)
+    a = a / jnp.clip(jnp.linalg.norm(a, axis=-1, keepdims=True), 1e-12, None)
+    logits = jnp.einsum("btd,bsd->bts", v, a) / tau  # [B, Tg, Tg]
+    lse_va = jax.nn.logsumexp(logits, axis=2)  # v row vs all audio times
+    lse_av = jax.nn.logsumexp(logits, axis=1)  # a col vs all video times
+    pos = jnp.diagonal(logits, axis1=1, axis2=2)  # [B, Tg]
+    loss = jnp.mean(lse_va - pos) + jnp.mean(lse_av - pos)
+    return weight * 0.5 * loss
 
 
 def reconstruction_loss(

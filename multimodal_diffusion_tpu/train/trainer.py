@@ -42,7 +42,7 @@ from ..ops import schedule as S
 from ..parallel.mesh import make_mesh_from_config
 from ..parallel.sharding import infer_param_shardings, replicated, shard_batch
 from .losses import (alignment_loss, mse_targets_only,
-                     reconstruction_loss)
+                     reconstruction_loss, sync_contrastive_loss)
 from .mask_schedule import Any2AnySchedule
 
 
@@ -192,6 +192,8 @@ def build_train_step(
     use_ema: bool,
     recon_weight: float = 0.0,
     clean_cond_prob: float = 0.0,
+    sync_weight: float = 0.0,
+    sync_tau: float = 0.1,
 ):
     """Returns train_step(state, batch, target_is_video) -> (state, metrics).
 
@@ -268,6 +270,13 @@ def build_train_step(
                 has_audio=batch.get("has_audio"),
             )
             loss_align = alignment_loss(out["h_v"], out["h_a"], weight=align_weight)
+            # temporal sync supervision (training.sync_loss_weight): InfoNCE
+            # across time WITHIN each clip — the Tg video time chunks come
+            # from the static latent grid, so this traces once
+            loss_sync = sync_contrastive_loss(
+                out["h_v"], out["h_a"],
+                video_time_chunks=z_video_shape[2] // model.cfg.tube[0],
+                weight=sync_weight, tau=sync_tau)
             if recon_weight > 0.0:
                 loss_recon = reconstruction_loss(
                     out["recon_v"], batch["video"], out["recon_a"],
@@ -276,12 +285,11 @@ def build_train_step(
                     has_audio=batch.get("has_audio"))
             else:
                 loss_recon = jnp.asarray(0.0, jnp.float32)
-            return (loss_main + loss_align + loss_recon,
-                    (loss_main, loss_align, loss_recon))
+            return (loss_main + loss_align + loss_recon + loss_sync,
+                    (loss_main, loss_align, loss_recon, loss_sync))
 
-        (loss, (loss_main, loss_align, loss_recon)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
+        (loss, (loss_main, loss_align, loss_recon, loss_sync)), grads = (
+            jax.value_and_grad(loss_fn, has_aux=True)(state.params))
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
 
@@ -299,6 +307,7 @@ def build_train_step(
             "loss_main": loss_main,
             "loss_align": loss_align,
             "loss_recon": loss_recon,
+            "loss_sync": loss_sync,
             "grad_norm": optax.global_norm(grads),
         }
         new_state = state.replace(
@@ -529,6 +538,8 @@ def create_trainer(
         use_ema,
         recon_weight=float(cfg["training"].get("recon_loss_weight", 0.0)),
         clean_cond_prob=float(cfg["training"].get("clean_cond_prob", 0.0)),
+        sync_weight=float(cfg["training"].get("sync_loss_weight", 0.0)),
+        sync_tau=float(cfg["training"].get("sync_tau", 0.1)),
     )
     train_step = jax.jit(step_fn, donate_argnums=(0,))
 

@@ -1,0 +1,89 @@
+"""Temporal sync-contrastive loss (training.sync_loss_weight).
+
+The alignment loss mean-pools over time and thus cannot supervise
+temporal correspondence; sync_contrastive_loss is the dedicated "when"
+objective (see PERFORMANCE.md "Specificity v3" for the failure it
+targets).  Capability beyond the reference: the reference has no
+temporal-sync objective at all (avdiff/models/train/losses.py defines
+only eps-MSE and pooled alignment).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_diffusion_tpu.train.losses import sync_contrastive_loss
+
+from tests._tiny import tiny_cfg
+
+
+def _timed_features(key, B=2, T=8, d=16):
+    """Features whose only structure is per-time identity: v[b,t] == a[b,t]
+    up to noise, and time positions are mutually distinctive."""
+    base = jax.random.normal(key, (B, T, d))
+    return base, base + 0.01 * jax.random.normal(jax.random.fold_in(key, 1),
+                                                 (B, T, d))
+
+
+def test_zero_weight_is_constant_zero():
+    v = jnp.ones((2, 8, 16))
+    a = jnp.ones((2, 12, 16))
+    out = sync_contrastive_loss(v, a, video_time_chunks=4, weight=0.0)
+    assert float(out) == 0.0
+
+
+def test_aligned_beats_time_shifted():
+    v, a = _timed_features(jax.random.PRNGKey(0))
+    aligned = sync_contrastive_loss(v, a, video_time_chunks=8, weight=1.0)
+    shifted = sync_contrastive_loss(v, jnp.roll(a, 3, axis=1),
+                                    video_time_chunks=8, weight=1.0)
+    assert float(aligned) < float(shifted)
+
+
+def test_bucketing_handles_mismatched_lengths():
+    # Nv = 24 tokens over Tg=8 time chunks (3 spatial positions each),
+    # Na = 50 audio frames -> 6-frame buckets with a truncated tail
+    key = jax.random.PRNGKey(1)
+    base, _ = _timed_features(key, B=2, T=8, d=16)
+    v = jnp.repeat(base, 3, axis=1)  # [2, 24, 16]
+    a = jnp.repeat(base, 7, axis=1)[:, :50, :]  # [2, 50, 16]
+    aligned = sync_contrastive_loss(v, a, video_time_chunks=8, weight=1.0)
+    shifted = sync_contrastive_loss(v, jnp.roll(a, 21, axis=1),
+                                    video_time_chunks=8, weight=1.0)
+    assert np.isfinite(float(aligned))
+    assert float(aligned) < float(shifted)
+
+
+def test_gradient_flows_and_jits():
+    v, a = _timed_features(jax.random.PRNGKey(2))
+
+    @jax.jit
+    def f(v, a):
+        return sync_contrastive_loss(v, a, video_time_chunks=8,
+                                     weight=0.5, tau=0.2)
+
+    g = jax.grad(lambda v: f(v, a))(v)
+    assert np.isfinite(float(f(v, a)))
+    assert float(jnp.max(jnp.abs(g))) > 0.0
+
+
+@pytest.mark.slow
+def test_trainer_reports_loss_sync():
+    from multimodal_diffusion_tpu.train.trainer import create_trainer
+
+    cfg = tiny_cfg()
+    cfg["training"]["sync_loss_weight"] = 0.1
+    cfg["training"]["sync_tau"] = 0.1
+    # tiny default has T' = 2, tube t = 2 -> a single time chunk, where the
+    # InfoNCE is trivially 0; keep full time resolution in the latent
+    cfg["video"]["latent"]["t_down"] = 1
+    tr = create_trainer(cfg)
+    batch = {
+        "video": jnp.zeros((2, 3, 8, 32, 32), jnp.float32),
+        "audio": jnp.zeros((2, 1, 8000), jnp.float32),
+    }
+    state, metrics = tr.train_step(tr.state, batch, jnp.asarray(0.0))
+    assert "loss_sync" in metrics
+    assert np.isfinite(float(metrics["loss_sync"]))
+    assert float(metrics["loss_sync"]) > 0.0
