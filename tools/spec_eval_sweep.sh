@@ -4,15 +4,26 @@
 # it).  Produces <run_dir>/evalN_<step>.json per milestone with the full
 # metric set (incl. retrieval_top1 and the cond-sensitivity probe).
 #
-# Usage: tools/spec_eval_sweep.sh [run_dir] [n] [step ...]
-#   defaults: runs/specificity3, n=16, every 25k milestone + 5k
+# Usage: tools/spec_eval_sweep.sh [run_dir] [n] [step ...] [-- overlay.yaml ...]
+#   defaults: runs/specificity3, n=16, every 25k milestone + 5k,
+#             overlays inferred from the run dir name
+#             (runs/specificityK -> configs/specificityK.yaml + its _eval).
 cd "$(dirname "$0")/.."
 OUT=${1:-runs/specificity3}
 N=${2:-16}
 shift 2 2>/dev/null || shift $# 2>/dev/null
-STEPS=("$@")
+STEPS=()
+CFGS=()
+mode=steps
+for a in "$@"; do
+  if [ "$a" = "--" ]; then mode=cfgs; continue; fi
+  if [ "$mode" = steps ]; then STEPS+=("$a"); else CFGS+=("$a"); fi
+done
 [ ${#STEPS[@]} -eq 0 ] && STEPS=(5000 25000 50000 75000 100000)
-CFG3=configs/specificity3.yaml
+if [ ${#CFGS[@]} -eq 0 ]; then
+  name=$(basename "$OUT")
+  CFGS=("configs/${name#av_}.yaml" "configs/${name#av_}_eval.yaml")
+fi
 for step in "${STEPS[@]}"; do
   d="$OUT/checkpoints/$step"
   [ -d "$d" ] || { echo "[sweep] skip $step (no checkpoint)"; continue; }
@@ -22,7 +33,7 @@ for step in "${STEPS[@]}"; do
   printf 'paths:\n  ckpt_path: "%s"\n' "$d" > "$ov"
   echo "[sweep] step $step (n=$N)"
   timeout 3600 python tools/eval_av_quality.py \
-    --config configs/mvp.yaml "$CFG3" configs/specificity3_eval.yaml "$ov" \
+    --config configs/mvp.yaml "${CFGS[@]}" "$ov" \
     --n "$N" --ema --seed 0 --out "$out" || echo "[sweep] step $step FAILED"
 done
 python - "$OUT" <<'PY'
@@ -32,9 +43,11 @@ rows = sorted(Path(sys.argv[1]).glob("evalN_*.json"),
               key=lambda p: int(p.stem.split("_")[1]))
 for p in rows:
     d = json.load(open(p))["mean"]
+    sep = d["av_sync_corr_gen"] - d["av_sync_corr_shuf"]
     print(f"step {p.stem.split('_')[1]:>6}: "
+          f"corr_gen={d['av_sync_corr_gen']:.3f} "
+          f"(shuf {d['av_sync_corr_shuf']:.3f}, sep {sep:+.3f})  "
           f"logmel={d['logmel_l1']:.3f} (shuf {d['logmel_l1_shuf']:.3f})  "
           f"retrieval@1={d.get('retrieval_top1', float('nan')):.2f}  "
-          f"margin={d.get('retrieval_margin', float('nan')):+.3f}  "
           f"cond_sens={d.get('cond_sensitivity_logmel', float('nan')):.3f}")
 PY
