@@ -43,11 +43,15 @@ rows = sorted(Path(sys.argv[1]).glob("evalN_*.json"),
               key=lambda p: int(p.stem.split("_")[1]))
 for p in rows:
     d = json.load(open(p))["mean"]
+    nan = float("nan")
     sep = d["av_sync_corr_gen"] - d["av_sync_corr_shuf"]
+    mg, mgt = d.get("gap_mouth_gen", nan), d.get("gap_mouth_gen_t", nan)
+    mr = d.get("gap_mouth_real", nan)
     print(f"step {p.stem.split('_')[1]:>6}: "
-          f"corr_gen={d['av_sync_corr_gen']:.3f} "
-          f"(shuf {d['av_sync_corr_shuf']:.3f}, sep {sep:+.3f})  "
-          f"logmel={d['logmel_l1']:.3f} (shuf {d['logmel_l1_shuf']:.3f})  "
-          f"retrieval@1={d.get('retrieval_top1', float('nan')):.2f}  "
-          f"cond_sens={d.get('cond_sensitivity_logmel', float('nan')):.3f}")
+          f"mouth_gap_gen={mg:+.3f} (t={mgt:+.1f}; real anchor {mr:+.3f})  "
+          f"full_gap_gen={d.get('gap_gen', sep):+.3f}  "
+          f"logmel={d['logmel_l1']:.3f} "
+          f"(gap {d.get('gap_logmel', nan):+.3f}, t={d.get('gap_logmel_t', nan):+.1f})  "
+          f"retrieval@1={d.get('retrieval_top1', nan):.2f}  "
+          f"cond_sens={d.get('cond_sensitivity_logmel', nan):.3f}")
 PY
