@@ -58,7 +58,7 @@ def main(argv=None):
     from multimodal_diffusion_tpu.datasets.av_manifest import AVClipsDataset
     from multimodal_diffusion_tpu.eval.av_sync import estimate_av_sync
     from multimodal_diffusion_tpu.eval.audio_quality import (
-        logmel_l1, spectral_convergence,
+        spectral_convergence,
     )
     from multimodal_diffusion_tpu.infer.sample_clip import (
         build_components, sample_one_direction, select_device,
@@ -134,13 +134,32 @@ def main(argv=None):
         variants += [("_mouth", mouth_list, 1.0), ("_mouth0", mouth_list,
                                                    0.0)]
 
+    # Precompute log-mels once per waveform: the retrieval metric compares
+    # every generated clip to every real clip, and recomputing mels inside
+    # logmel_l1 is O(n^2) mel transforms — the eval's wall-clock bottleneck
+    # on a 1-core host.  Same parameters as logmel_l1's defaults, so the
+    # numbers are bit-identical.
+    from multimodal_diffusion_tpu.media.audio_io import logmel as _logmel
+
+    def mel(w):
+        return _logmel(np.asarray(w, np.float32).reshape(-1), sr,
+                       n_fft=1024, hop=256, n_mels=64, fmin=20.0,
+                       fmax=sr / 2, eps=1e-6)
+
+    def mel_l1(A, B):
+        T = min(A.shape[1], B.shape[1])
+        return float(np.mean(np.abs(A[:, :T] - B[:, :T])))
+
+    mels_real = [mel(w) for w in real_wavs]
+
     rows = []
     rng = np.random.default_rng(args.seed)
     for j in range(n):
         real = real_wavs[j]
         gen = gen_wavs[j]
+        mel_gen = mel(gen)
         row = {
-            "logmel_l1": logmel_l1(real, gen, sr),
+            "logmel_l1": mel_l1(mels_real[j], mel_gen),
             "spec_convergence": spectral_convergence(real, gen, sr),
         }
         other = None
@@ -164,17 +183,17 @@ def main(argv=None):
                 row[f"av_sync_corr{suf}_shuf"] = cs
                 row[f"av_sync_corr{suf}_real_shuf"] = crs
         if other is not None:
-            row["logmel_l1_shuf"] = logmel_l1(real_wavs[other], gen, sr)
+            row["logmel_l1_shuf"] = mel_l1(mels_real[other], mel_gen)
             # top-1 retrieval: does the generated audio sit closer (logmel
             # L1) to ITS OWN clip's real audio than to every other clip's?
             # chance = 1/n; per-clip specificity directly, no envelope proxy
-            dists = [logmel_l1(real_wavs[m], gen, sr) for m in range(n)]
+            dists = [mel_l1(mels_real[m], mel_gen) for m in range(n)]
             row["retrieval_top1"] = float(int(np.argmin(dists)) == j)
             row["retrieval_margin"] = float(
                 np.min([dists[m] for m in range(n) if m != j]) - dists[j])
         if gen_wavs_mis is not None:
-            row["cond_sensitivity_logmel"] = logmel_l1(
-                gen, gen_wavs_mis[j], sr)
+            row["cond_sensitivity_logmel"] = mel_l1(
+                mel_gen, mel(gen_wavs_mis[j]))
             row["cond_sensitivity_wav_l2"] = float(
                 np.sqrt(np.mean((gen - gen_wavs_mis[j]) ** 2)))
         rows.append(row)
