@@ -209,9 +209,11 @@ def main(argv=None):
         return float(d.mean()), float(d.mean() / (se + 1e-12))
 
     for suf, _, _ in variants:
-        for who in ("gen", "real"):
-            st = paired(f"av_sync_corr{suf}_{who}",
-                        f"av_sync_corr{suf}_{who}_shuf")
+        # generated-audio shuffle rows carry no "_gen" infix (they ARE the
+        # default); real-audio shuffle rows are "..._real_shuf".
+        for who, neg in (("gen", f"av_sync_corr{suf}_shuf"),
+                         ("real", f"av_sync_corr{suf}_real_shuf")):
+            st = paired(f"av_sync_corr{suf}_{who}", neg)
             if st:
                 report[f"gap{suf}_{who}"], report[f"gap{suf}_{who}_t"] = st
     st = paired("logmel_l1_shuf", "logmel_l1")
