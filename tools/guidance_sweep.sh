@@ -39,9 +39,9 @@ nan = float("nan")
 for p in rows:
     d = json.load(open(p))["mean"]
     g = p.stem.split("_")[0][5:]
-    print(f"g={g:>4}: mouth_gap_gen={d.get('gap_mouth_gen', nan):+.3f} "
-          f"(t={d.get('gap_mouth_gen_t', nan):+.1f})  "
-          f"full_gap_gen={d.get('gap_gen', nan):+.3f}  "
+    print(f"g={g:>4}: mouth0_gap_gen={d.get('gap_mouth0_gen', nan):+.3f} "
+          f"(t={d.get('gap_mouth0_gen_t', nan):+.1f})  "
+          f"full0_gap_gen={d.get('gap0_gen', nan):+.3f}  "
           f"logmel={d['logmel_l1']:.3f} "
           f"(gap {d.get('gap_logmel', nan):+.3f})  "
           f"retrieval@1={d.get('retrieval_top1', nan):.2f}  "

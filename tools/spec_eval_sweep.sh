@@ -45,11 +45,12 @@ for p in rows:
     d = json.load(open(p))["mean"]
     nan = float("nan")
     sep = d["av_sync_corr_gen"] - d["av_sync_corr_shuf"]
-    mg, mgt = d.get("gap_mouth_gen", nan), d.get("gap_mouth_gen_t", nan)
-    mr = d.get("gap_mouth_real", nan)
+    mg, mgt = d.get("gap_mouth0_gen", nan), d.get("gap_mouth0_gen_t", nan)
+    mr = d.get("gap_mouth0_real", nan)
+    fg = d.get("gap0_gen", nan)
     print(f"step {p.stem.split('_')[1]:>6}: "
-          f"mouth_gap_gen={mg:+.3f} (t={mgt:+.1f}; real anchor {mr:+.3f})  "
-          f"full_gap_gen={d.get('gap_gen', sep):+.3f}  "
+          f"mouth0_gap_gen={mg:+.3f} (t={mgt:+.1f}; real anchor {mr:+.3f})  "
+          f"full0_gap_gen={fg:+.3f}  "
           f"logmel={d['logmel_l1']:.3f} "
           f"(gap {d.get('gap_logmel', nan):+.3f}, t={d.get('gap_logmel_t', nan):+.1f})  "
           f"retrieval@1={d.get('retrieval_top1', nan):.2f}  "
