@@ -177,3 +177,39 @@ def test_uniform_filter_matches_scipy():
         ours = _uniform_filter2d(x, size)
         ref = scipy.uniform_filter(x, size=size, mode="reflect")
         np.testing.assert_allclose(ours, ref, rtol=1e-10, atol=1e-10)
+
+
+def test_eval_report_emits_gen_and_real_gap_keys():
+    """Regression: gap{suf}_gen keys were silently dropped because the
+    generated-audio shuffle rows carry no _gen infix (tools/eval_av_quality
+    stores av_sync_corr{suf}_shuf, not ..._gen_shuf)."""
+    import importlib.util
+    import pathlib
+    spec = importlib.util.spec_from_file_location(
+        "eval_av_quality",
+        pathlib.Path(__file__).resolve().parents[1]
+        / "tools" / "eval_av_quality.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    rng = np.random.default_rng(0)
+    rows = []
+    for _ in range(8):
+        row = {"logmel_l1": float(rng.uniform(2, 3)),
+               "logmel_l1_shuf": float(rng.uniform(2, 3))}
+        for suf in ("", "0"):
+            row[f"av_sync_corr{suf}_gen"] = float(rng.uniform(-1, 1))
+            row[f"av_sync_corr{suf}_real"] = float(rng.uniform(-1, 1))
+            row[f"av_sync_corr{suf}_shuf"] = float(rng.uniform(-1, 1))
+            row[f"av_sync_corr{suf}_real_shuf"] = float(rng.uniform(-1, 1))
+        rows.append(row)
+
+    rep = mod.build_report(rows, ["", "0"])
+    for suf in ("", "0"):
+        for who in ("gen", "real"):
+            assert f"gap{suf}_{who}" in rep and f"gap{suf}_{who}_t" in rep
+    # gap values equal the mean paired difference against the right anchor
+    exp = np.mean([r["av_sync_corr0_gen"] - r["av_sync_corr0_shuf"]
+                   for r in rows])
+    assert abs(rep["gap0_gen"] - exp) < 1e-12
+    assert "gap_logmel" in rep and rep["n_clips"] == 8

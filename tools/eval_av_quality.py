@@ -39,6 +39,38 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 
+def build_report(rows, variant_sufs):
+    """Mean metrics + paired gen/real-vs-shuffle gaps with t statistics.
+
+    Per-clip ``rows`` carry ``av_sync_corr{suf}_{gen,real}`` and their
+    shuffle anchors; generated-audio shuffle rows have NO ``_gen`` infix
+    (``av_sync_corr{suf}_shuf``) while real anchors are
+    ``av_sync_corr{suf}_real_shuf``.  Emits ``gap{suf}_{gen,real}`` (+
+    ``_t``) for every variant plus the paired log-mel gap.
+    """
+    report = {k: float(np.mean([r[k] for r in rows])) for k in rows[0]}
+
+    def paired(pos_key, neg_key):
+        # mean paired difference + t statistic (positive = specificity)
+        if pos_key not in rows[0] or neg_key not in rows[0]:
+            return None
+        d = np.array([r[pos_key] - r[neg_key] for r in rows], np.float64)
+        se = d.std(ddof=1) / np.sqrt(len(d)) if len(d) > 1 else np.inf
+        return float(d.mean()), float(d.mean() / (se + 1e-12))
+
+    for suf in variant_sufs:
+        for who, neg in (("gen", f"av_sync_corr{suf}_shuf"),
+                         ("real", f"av_sync_corr{suf}_real_shuf")):
+            st = paired(f"av_sync_corr{suf}_{who}", neg)
+            if st:
+                report[f"gap{suf}_{who}"], report[f"gap{suf}_{who}_t"] = st
+    st = paired("logmel_l1_shuf", "logmel_l1")
+    if st:
+        report["gap_logmel"], report["gap_logmel_t"] = st
+    report["n_clips"] = len(rows)
+    return report
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", type=str, nargs="+", required=True)
@@ -198,28 +230,7 @@ def main(argv=None):
                 np.sqrt(np.mean((gen - gen_wavs_mis[j]) ** 2)))
         rows.append(row)
 
-    report = {k: float(np.mean([r[k] for r in rows])) for k in rows[0]}
-
-    def paired(pos_key, neg_key):
-        # mean paired difference + t statistic (positive = specificity)
-        if pos_key not in rows[0] or neg_key not in rows[0]:
-            return None
-        d = np.array([r[pos_key] - r[neg_key] for r in rows], np.float64)
-        se = d.std(ddof=1) / np.sqrt(len(d)) if len(d) > 1 else np.inf
-        return float(d.mean()), float(d.mean() / (se + 1e-12))
-
-    for suf, _, _ in variants:
-        # generated-audio shuffle rows carry no "_gen" infix (they ARE the
-        # default); real-audio shuffle rows are "..._real_shuf".
-        for who, neg in (("gen", f"av_sync_corr{suf}_shuf"),
-                         ("real", f"av_sync_corr{suf}_real_shuf")):
-            st = paired(f"av_sync_corr{suf}_{who}", neg)
-            if st:
-                report[f"gap{suf}_{who}"], report[f"gap{suf}_{who}_t"] = st
-    st = paired("logmel_l1_shuf", "logmel_l1")
-    if st:
-        report["gap_logmel"], report["gap_logmel_t"] = st
-    report["n_clips"] = n
+    report = build_report(rows, [s for s, _, _ in variants])
     report["ema"] = bool(args.ema)
     print(json.dumps(report, indent=2))
     if args.out:
