@@ -40,6 +40,7 @@ def make_ddim_sampler(
     eta: float = 0.0,
     param: str = "eps",
     sampler: str = "ddim",
+    cfg_rescale: float = 0.0,
 ):
     """Returns sample(params, z_prompt, z_init, rng, tok_mouth) -> final
     target latent.
@@ -75,6 +76,7 @@ def make_ddim_sampler(
     )  # [S, 2] (t_now, t_prev)
     abar = jnp.asarray(alpha_bar, jnp.float32)
     g = float(guidance_scale)
+    phi = float(cfg_rescale)
 
     def sample(params, z_prompt: jnp.ndarray, z_init: jnp.ndarray,
                rng: Optional[jax.Array] = None,
@@ -153,6 +155,17 @@ def make_ddim_sampler(
 
             eps_cond, eps_null = eps_tok[:B], eps_tok[B:]
             eps_hat_tok = eps_null + g * (eps_cond - eps_null)
+            if phi > 0.0:
+                # CFG rescale (Lin et al. 2023): the linear combine inflates
+                # the prediction's per-sample std by ~g, which at the high
+                # guidance the AV specificity operating point needs (g >= 5)
+                # over-saturates the output.  Rescale toward eps_cond's std
+                # and blend by phi; phi=0 is the plain combine.
+                ax = tuple(range(1, eps_hat_tok.ndim))
+                s_cond = jnp.std(eps_cond, axis=ax, keepdims=True)
+                s_hat = jnp.std(eps_hat_tok, axis=ax, keepdims=True)
+                rescaled = eps_hat_tok * (s_cond / jnp.maximum(s_hat, 1e-12))
+                eps_hat_tok = phi * rescaled + (1.0 - phi) * eps_hat_tok
 
             if target == "audio":
                 eps_lat = model.apply(var, eps_hat_tok, z.shape,
@@ -204,11 +217,12 @@ def sampler_from_config(
     _, abar = S.alphas_cumprod_from_betas(betas)
     sched = S.make_sampling_schedule(T_train, S_steps)
     guide = float(cfg["sampling"]["guidance_scale"].get(target, 3.0))
+    rescale = float(cfg["sampling"].get("cfg_rescale", 0.0))
     eta = float(cfg["sampling"].get("ddim_eta", 0.0))
     sampler = str(cfg["sampling"].get("sampler", "ddim"))
     sample = make_ddim_sampler(
         model, target=target, sched=sched, alpha_bar=abar,
         guidance_scale=guide, eta=eta, param=str(dc.get("param", "eps")),
-        sampler=sampler,
+        sampler=sampler, cfg_rescale=rescale,
     )
     return jax.jit(sample), sched

@@ -154,6 +154,7 @@ def get_sampler(model: AVDiffusionModel, cfg: Dict, target: str):
         str(dc["schedule"]), float(dc["min_beta"]), float(dc["max_beta"]),
         float(samp.get("guidance_scale", {}).get(target, 3.0)),
         float(samp.get("ddim_eta", 0.0)),
+        float(samp.get("cfg_rescale", 0.0)),
         str(samp.get("sampler", "ddim")),
         str(dc.get("param", "eps")),
     )

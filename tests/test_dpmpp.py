@@ -156,3 +156,59 @@ def test_dpmpp_end_to_end_tiny_model():
         prompt_video=frames, rng=jax.random.PRNGKey(0))
     wav = np.asarray(out["audio"])
     assert wav.shape[0] == 1 and np.isfinite(wav).all()
+
+
+def test_cfg_rescale_end_to_end_and_identity():
+    """sampling.cfg_rescale: phi=0 must be bit-identical to the unset
+    config (same jit cache entry); phi=1 produces finite, different audio
+    whose eps trajectory is std-matched to the conditional branch."""
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).parent))
+    from _tiny import tiny_cfg
+    from multimodal_diffusion_tpu.infer.sample_clip import (
+        build_components, sample_one_direction,
+    )
+
+    cfg = tiny_cfg()
+    cfg["sampling"]["guidance_scale"] = {"audio": 7.0, "video": 7.0}
+    T = int(cfg["data"]["clip_seconds"] * cfg["video"]["fps"])
+    H, W = cfg["video"]["size"]
+    frames = np.random.default_rng(1).integers(
+        0, 255, (1, T, H, W, 3), dtype=np.uint8)
+    model, params = build_components(cfg)
+
+    def run(phi):
+        c = {**cfg, "sampling": {**cfg["sampling"], "cfg_rescale": phi}}
+        out = sample_one_direction(
+            cfg=c, model=model, params=params, prompt_modality="video",
+            prompt_video=frames, rng=jax.random.PRNGKey(0))
+        return np.asarray(out["audio"])
+
+    base = run(0.0)
+    full = run(1.0)
+    assert np.isfinite(base).all() and np.isfinite(full).all()
+    # phi=0 == plain combine (the phi branch is statically compiled out)
+    out_unset = sample_one_direction(
+        cfg=cfg, model=model, params=params, prompt_modality="video",
+        prompt_video=frames, rng=jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(base, np.asarray(out_unset["audio"]))
+    # phi=1 at g=7 must actually change the trajectory
+    assert np.abs(base - full).max() > 0
+
+
+def test_cfg_rescale_std_matching_formula():
+    """Unit check of the rescale arithmetic: at phi=1 the combined eps is
+    scaled to eps_cond's per-sample std."""
+    rng = np.random.default_rng(0)
+    eps_cond = jnp.asarray(rng.standard_normal((2, 5, 7)), jnp.float32)
+    eps_null = jnp.asarray(rng.standard_normal((2, 5, 7)), jnp.float32)
+    g = 9.0
+    eps_hat = eps_null + g * (eps_cond - eps_null)
+    ax = (1, 2)
+    s_cond = jnp.std(eps_cond, axis=ax, keepdims=True)
+    s_hat = jnp.std(eps_hat, axis=ax, keepdims=True)
+    rescaled = eps_hat * (s_cond / jnp.maximum(s_hat, 1e-12))
+    np.testing.assert_allclose(
+        np.std(np.asarray(rescaled), axis=(1, 2)),
+        np.asarray(s_cond).squeeze(), rtol=1e-5)
