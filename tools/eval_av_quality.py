@@ -48,7 +48,8 @@ def build_report(rows, variant_sufs):
     ``av_sync_corr{suf}_real_shuf``.  Emits ``gap{suf}_{gen,real}`` (+
     ``_t``) for every variant plus the paired log-mel gap.
     """
-    report = {k: float(np.mean([r[k] for r in rows])) for k in rows[0]}
+    report = {k: float(np.mean([r[k] for r in rows])) for k in rows[0]
+              if not k.startswith("_")}
 
     def paired(pos_key, neg_key):
         # mean paired difference + t statistic (positive = specificity)
@@ -85,6 +86,9 @@ def main(argv=None):
                          "is — 0 means conditioning is ignored")
     ap.add_argument("--no-cond-sensitivity", dest="cond_sensitivity",
                     action="store_false")
+    ap.add_argument("--spread", action="store_true",
+                    help="take n evenly-spaced manifest clips (all "
+                         "speakers) instead of the tail slice")
     args = ap.parse_args(argv)
 
     from multimodal_diffusion_tpu.datasets.av_manifest import AVClipsDataset
@@ -113,7 +117,17 @@ def main(argv=None):
     n = min(args.n, len(ds))
     if n == 0:
         sys.exit("manifest is empty — nothing to evaluate")
-    idxs = list(range(len(ds) - n, len(ds)))  # tail = held-out-ish slice
+    if args.spread:
+        # evenly-spaced slice: manifests are speaker-ordered, so the tail
+        # slice can silently cover a speaker subset (the tail 64 of the
+        # 4-speaker val manifest is s3+s4 only, and both the real-audio
+        # sync ceiling and the model's specificity proved strongly
+        # speaker-dependent) — spread sampling keeps every speaker in the
+        # eval at any n.
+        step = max(1, len(ds) // n)
+        idxs = list(range(len(ds) - 1, -1, -step))[:n][::-1]
+    else:
+        idxs = list(range(len(ds) - n, len(ds)))  # tail = held-out slice
 
     model, params = build_components(cfg, use_ema=args.ema)
 
@@ -191,6 +205,7 @@ def main(argv=None):
         gen = gen_wavs[j]
         mel_gen = mel(gen)
         row = {
+            "_manifest_index": int(idxs[j]),  # per-speaker breakdowns
             "logmel_l1": mel_l1(mels_real[j], mel_gen),
             "spec_convergence": spectral_convergence(real, gen, sr),
         }
