@@ -208,7 +208,8 @@ class RecordDataset:
 
 
 def device_resident_batches(dataset: "RecordDataset", mesh, batch_size: int,
-                            seed: int = 0, shuffle: bool = True):
+                            seed: int = 0, shuffle: bool = True,
+                            max_clips: int | None = None):
     """Zero-per-step-host-transfer input: upload ALL records to HBM once,
     then gather each batch on-device by index.
 
@@ -226,6 +227,13 @@ def device_resident_batches(dataset: "RecordDataset", mesh, batch_size: int,
     jax.process_count() > 1 every process would gather identical global
     indices over different local data, so this generator asserts
     single-process and multi-host jobs must use the loader path.
+
+    `max_clips` caps how many records go resident (evenly strided over the
+    record order, which preserves speaker balance for speaker-grouped
+    corpora): the corpus + fp32 optimizer state of a large model must
+    *together* fit in one chip's HBM, and at d=1024/16L the full 3872-clip
+    GRID corpus (9.9 GB) plus ~3.4 GB of params/Adam/EMA overruns a 16 GB
+    chip (observed RESOURCE_EXHAUSTED on the first train step).
 
     Yields {"video": uint8 [B, T, H, W, 3] | fp32, "audio": [B, 1, L],
     "has_video"/"has_audio": [B] float32} with the leading axis sharded
@@ -248,21 +256,44 @@ def device_resident_batches(dataset: "RecordDataset", mesh, batch_size: int,
         raise ValueError(
             f"batch_size {batch_size} exceeds record count {n}; shrink the "
             f"batch or add records")
+    sel = None
+    if max_clips is not None and 0 < max_clips < n:
+        sel = np.unique(
+            np.linspace(0, n - 1, int(max_clips)).round().astype(np.int64))
+        print(f"[resident] capping corpus {n} -> {sel.size} clips "
+              f"(evenly strided)", flush=True)
     v_parts, a_parts, flags = [], [], []
+    base = 0
     for s in dataset.shards:
         mm = s._mm
         body = mm[s.data_off : s.data_off + s.n * s.rec_bytes]
         recs = np.frombuffer(body, np.uint8).reshape(s.n, s.rec_bytes)
+        fl = s.flags
+        if sel is not None:
+            loc = sel[(sel >= base) & (sel < base + s.n)] - base
+            base += s.n
+            if loc.size == 0:
+                continue
+            recs = recs[loc]          # row-gather copy of just this shard
+            fl = np.asarray(s.flags)[loc]
+        else:
+            base += s.n
+        n_s = recs.shape[0]
         v = recs[:, : s.v_bytes]
         a = recs[:, s.v_bytes :]
         v_parts.append(
             np.frombuffer(v.tobytes(), s.video_dtype).reshape(
-                (s.n,) + s.video_shape))
+                (n_s,) + s.video_shape))
         a_parts.append(
             np.frombuffer(a.tobytes(), s.audio_dtype).reshape(
-                (s.n,) + s.audio_shape))
-        flags.append(s.flags)
+                (n_s,) + s.audio_shape))
+        flags.append(fl)
     video_all = np.concatenate(v_parts)   # [n, T, H, W, 3] uint8
+    n = video_all.shape[0]
+    if batch_size > n:
+        raise ValueError(
+            f"batch_size {batch_size} exceeds capped record count {n}; "
+            f"raise data.resident_max_clips")
     audio_all = np.concatenate(a_parts).reshape(n, 1, -1)
     flag_all = np.concatenate(flags)
     has_v = (flag_all & 1).astype(np.float32)

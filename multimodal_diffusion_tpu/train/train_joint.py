@@ -93,7 +93,8 @@ def main(argv=None):
         from ..datasets.records import device_resident_batches
 
         loader = device_resident_batches(
-            dataset, bundle.mesh, global_batch, seed=int(cfg.get("seed", 0)))
+            dataset, bundle.mesh, global_batch, seed=int(cfg.get("seed", 0)),
+            max_clips=cfg["data"].get("resident_max_clips"))
     else:
         loader = DataLoader(
             dataset,
@@ -182,10 +183,24 @@ def main(argv=None):
     import signal
 
     stop_requested = {"v": False}
+    loop_started = {"v": False}
 
     def _request_stop(signum, frame):
+        if not loop_started["v"] or stop_requested["v"]:
+            # Nothing to checkpoint yet (still in corpus upload / compile —
+            # the stop flag is only polled inside the train loop, so a
+            # deferred stop would hang for minutes), or a second signal:
+            # exit now.  SystemExit propagates at the next Python bytecode
+            # boundary, i.e. after the in-flight device call returns.
+            print(f"[preempt] signal {signum} before first step (or "
+                  f"repeated); exiting immediately")
+            raise SystemExit(1)
         stop_requested["v"] = True
         print(f"[preempt] signal {signum} received; will checkpoint and exit")
+
+    def _should_stop():
+        loop_started["v"] = True
+        return stop_requested["v"]
 
     prev_handlers = {}
     for sig in (signal.SIGTERM, signal.SIGINT):
@@ -199,7 +214,7 @@ def main(argv=None):
             cfg, bundle, iter(loader),
             max_steps=args.max_steps,
             log_fn=log_fn, checkpoint_fn=ckpt_fn, val_fn=val_fn,
-            should_stop=lambda: stop_requested["v"],
+            should_stop=_should_stop,
         )
     finally:
         for sig, h in prev_handlers.items():

@@ -184,6 +184,47 @@ def test_device_resident_batches(tmp_path):
     assert out["video"] is b0["video"] or isinstance(out["video"], jax.Array)
 
 
+def test_device_resident_max_clips(tmp_path):
+    """`max_clips` caps the resident corpus with an even stride across the
+    record order (HBM budget knob: corpus + optimizer state must co-fit),
+    spanning shard boundaries and re-checking the batch-size bound."""
+    import jax
+    import pytest
+
+    from multimodal_diffusion_tpu.datasets.records import (
+        RecordDataset, device_resident_batches, write_record_shards,
+    )
+    from multimodal_diffusion_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(1)
+    vids = rng.integers(0, 255, (9, 4, 8, 8, 3), dtype=np.uint8)
+    auds = rng.standard_normal((9, 1600)).astype(np.float32)
+
+    def items():
+        for i in range(9):
+            yield {"video": vids[i], "audio": auds[i]}
+
+    rec_dir = tmp_path / "records"
+    write_record_shards(items(), rec_dir, video_shape=(4, 8, 8, 3),
+                        audio_shape=(1600,), clips_per_shard=4, fps=8, sr=8000)
+    ds = RecordDataset(rec_dir, device_preprocess=True)
+    mesh = make_mesh(data=1, model=1, devices=jax.devices()[:1])
+
+    # 5-of-9 even stride -> records {0, 2, 4, 6, 8}, crossing both shard
+    # boundaries (shards hold 4+4+1)
+    gen = device_resident_batches(ds, mesh, batch_size=5, shuffle=False,
+                                  max_clips=5)
+    b = next(gen)
+    np.testing.assert_array_equal(np.asarray(b["video"]), vids[[0, 2, 4, 6, 8]])
+    np.testing.assert_allclose(np.asarray(b["audio"])[:, 0, :],
+                               auds[[0, 2, 4, 6, 8]])
+
+    # batch bigger than the CAPPED count fails loudly up front
+    with pytest.raises(ValueError, match="resident_max_clips"):
+        next(device_resident_batches(ds, mesh, batch_size=6, shuffle=False,
+                                     max_clips=5))
+
+
 def test_train_joint_cli_device_resident(tmp_path):
     """train_joint with data.device_resident: resident gather feeds the
     jitted step end-to-end (2 steps + checkpoint)."""
