@@ -38,14 +38,30 @@ def snr_like(ref: np.ndarray, est: np.ndarray) -> float:
     return float(10.0 * np.log10(num / den))
 
 
-def logmel_l1(ref: np.ndarray, est: np.ndarray, sr: int, n_mels: int = 64,
-              n_fft: int = 1024, hop_length: int = 256) -> float:
-    A = logmel(ref, sr, n_fft=n_fft, hop=hop_length, n_mels=n_mels,
-               fmin=20.0, fmax=sr / 2, eps=1e-6)
-    B = logmel(est, sr, n_fft=n_fft, hop=hop_length, n_mels=n_mels,
-               fmin=20.0, fmax=sr / 2, eps=1e-6)
+def logmel_default(w: np.ndarray, sr: int, n_mels: int = 64,
+                   n_fft: int = 1024, hop_length: int = 256) -> np.ndarray:
+    """THE canonical log-mel of every metric in this module.  Callers that
+    cache mels (tools/eval_av_quality.py precomputes them because its
+    retrieval metric is O(n^2) comparisons) must use this same function so
+    cached-path numbers stay bit-identical to logmel_l1."""
+    return logmel(np.asarray(w, np.float32).reshape(-1), sr, n_fft=n_fft,
+                  hop=hop_length, n_mels=n_mels, fmin=20.0, fmax=sr / 2,
+                  eps=1e-6)
+
+
+def l1_from_logmels(A: np.ndarray, B: np.ndarray) -> float:
+    """logmel_l1's distance over precomputed mels (common-prefix frames)."""
     T = min(A.shape[1], B.shape[1])
     return float(np.mean(np.abs(A[:, :T] - B[:, :T])))
+
+
+def logmel_l1(ref: np.ndarray, est: np.ndarray, sr: int, n_mels: int = 64,
+              n_fft: int = 1024, hop_length: int = 256) -> float:
+    A = logmel_default(ref, sr, n_mels=n_mels, n_fft=n_fft,
+                       hop_length=hop_length)
+    B = logmel_default(est, sr, n_mels=n_mels, n_fft=n_fft,
+                       hop_length=hop_length)
+    return l1_from_logmels(A, B)
 
 
 def spectral_convergence(ref: np.ndarray, est: np.ndarray, sr: int,

@@ -88,8 +88,14 @@ def sync_contrastive_loss(
     the gradient shapes the representation the sampler actually uses.
 
     Both token streams are bucketed to a common temporal length T*
-    (video: spatial mean per time chunk; audio: mean over frames per
-    bucket), L2-normalized, and scored [B, T*, T*] within each clip.
+    (video: spatial mean per time chunk; audio: proportional time
+    buckets), L2-normalized, and scored [B, T*, T*] within each clip.
+    Audio bucket boundaries are PROPORTIONAL (token i -> bucket
+    floor(i*Tg/Na)) rather than `Na // Tg`-sized: truncating the
+    remainder would drop the tail tokens and time-compress the audio
+    axis, skewing every positive pair ~100 ms late at mvp shapes
+    (Na=37, Tg=6) — on the phoneme timescale this loss exists to teach.
+    When Na % Tg == 0 the two schemes coincide.
     Positives are the matching time bucket; negatives are the SAME
     clip's other time positions — speaker identity/timbre is useless
     for telling them apart, so the only way to lower this loss is
@@ -108,11 +114,17 @@ def sync_contrastive_loss(
     v = jnp.mean(
         h_video[:, : Tg * S, :].astype(jnp.float32).reshape(B, Tg, S, d),
         axis=2)
-    # audio: bucket Na frames into the same Tg positions
-    Fb = Na // Tg
-    a = jnp.mean(
-        h_audio[:, : Tg * Fb, :].astype(jnp.float32).reshape(B, Tg, Fb, d),
-        axis=2)
+    # audio: proportional bucketing of ALL Na tokens into Tg positions
+    # (shapes are static at trace time, so the [Tg, Na] averaging matrix
+    # folds into the compiled program as a constant)
+    import numpy as np
+
+    bucket = (np.arange(Na) * Tg) // Na          # token i -> bucket
+    M = np.zeros((Tg, Na), np.float32)
+    M[bucket, np.arange(Na)] = 1.0
+    M /= M.sum(axis=1, keepdims=True)
+    a = jnp.einsum("ts,bsd->btd", jnp.asarray(M),
+                   h_audio.astype(jnp.float32))
     v = v / jnp.clip(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12, None)
     a = a / jnp.clip(jnp.linalg.norm(a, axis=-1, keepdims=True), 1e-12, None)
     logits = jnp.einsum("btd,bsd->bts", v, a) / tau  # [B, Tg, Tg]

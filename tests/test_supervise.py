@@ -116,8 +116,55 @@ def test_launch_failures_have_own_budget(tmp_path):
            "--max-restarts", "0",          # no ordinary restarts at all
            "--max-launch-failures", "3",
            "--outage-backoff-seconds", "0.1",
+           "--fast-fail-seconds", "0",     # model a SLOW outage exit: keep
+                                           # the deterministic-bug classifier
+                                           # out of this test
            "--", sys.executable, str(child)]
     r = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
     assert r.returncode == 13, r.stdout + r.stderr
     assert "launch failure 3/3" in r.stdout
     assert "giving up: 4 launch failures" in r.stdout
+
+
+def test_fast_identical_failures_are_a_bug_not_an_outage(tmp_path):
+    """An instantly-crashing child (config typo) must surface after 4 tries
+    instead of burning the multi-hour outage budget (review finding)."""
+    child = tmp_path / "child.py"
+    child.write_text("import sys; sys.exit(13)\n")
+    cmd = [sys.executable, str(SUPERVISE),
+           "--progress-file", str(tmp_path / "metrics.jsonl"),
+           "--startup-seconds", "60", "--stall-seconds", "60",
+           "--grace-seconds", "2", "--max-restarts", "0",
+           "--max-launch-failures", "48",
+           "--outage-backoff-seconds", "0.1",
+           "--", sys.executable, str(child)]
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
+    assert r.returncode == 13, r.stdout + r.stderr
+    assert "consecutive fast identical failures" in r.stdout
+    assert "launch failure 4/" not in r.stdout
+
+
+def test_stall_sigterm_clean_exit_restarts_not_completes(tmp_path):
+    """The trainer's preempt path exits 0 on the supervisor's stall SIGTERM
+    — that is a restart, not completion (review finding: the supervisor
+    used to declare 'completed cleanly' and strand the run mid-way)."""
+    r = _run(tmp_path, """
+        import signal, sys, time
+        from pathlib import Path
+        root = Path(sys.argv[1])
+        p = root / "metrics.jsonl"
+        state = root / "resumed"
+        if state.exists():
+            p.open("a").write('{"step": 2}\\n')
+            sys.exit(0)
+        state.write_text("x")
+        # clean-exit-0 on SIGTERM, like train_joint's preempt path
+        signal.signal(signal.SIGTERM, lambda *a: sys.exit(0))
+        p.open("a").write('{"step": 1}\\n')
+        time.sleep(3600)
+    """)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "STALL (run)" in r.stdout
+    assert "restart 1/" in r.stdout
+    assert "stall, clean child exit" in r.stdout
+    assert "completed cleanly" in r.stdout

@@ -55,6 +55,49 @@ def test_bucketing_handles_mismatched_lengths():
     assert float(aligned) < float(shifted)
 
 
+def test_proportional_buckets_match_exact_reshape_when_divisible():
+    # Na % Tg == 0: proportional bucketing must equal the exact
+    # reshape-mean (the pre-fix scheme), so the fix changes nothing for
+    # divisible shapes
+    key = jax.random.PRNGKey(3)
+    base, _ = _timed_features(key, B=2, T=6, d=8)
+    v = jnp.repeat(base, 2, axis=1)   # [2, 12, 8]
+    a = jnp.repeat(base, 4, axis=1)   # [2, 24, 8], Na=24 divisible by Tg=6
+    got = sync_contrastive_loss(v, a, video_time_chunks=6, weight=1.0)
+    B, Na, d = a.shape
+    ref_a = jnp.mean(a.reshape(B, 6, Na // 6, d), axis=2)
+    S = v.shape[1] // 6
+    ref_v = jnp.mean(v.reshape(B, 6, S, d), axis=2)
+    nv = ref_v / jnp.linalg.norm(ref_v, axis=-1, keepdims=True)
+    na_ = ref_a / jnp.linalg.norm(ref_a, axis=-1, keepdims=True)
+    logits = jnp.einsum("btd,bsd->bts", nv, na_) / 0.1
+    pos = jnp.diagonal(logits, axis1=1, axis2=2)
+    want = 0.5 * (jnp.mean(jax.nn.logsumexp(logits, 2) - pos)
+                  + jnp.mean(jax.nn.logsumexp(logits, 1) - pos))
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+
+
+def test_proportional_buckets_cover_the_tail():
+    """mvp shapes (Na=37, Tg=6): the old Na//Tg bucketing dropped token 36
+    and time-compressed audio ~4% (≈100 ms of a 3 s clip).  Proportional
+    buckets must keep a one-token tail signal visible in the loss and must
+    prefer TRUE alignment over a 37/36 time-compressed copy."""
+    B, Tg, d, Na = 1, 6, 8, 37
+    key = jax.random.PRNGKey(4)
+    base = jax.random.normal(key, (B, Tg, d))
+    v = jnp.repeat(base, 2, axis=1)  # [1, 12, 8], S=2
+    # audio token i carries the feature of its PROPORTIONAL video chunk
+    idx = (np.arange(Na) * Tg) // Na
+    a_true = jnp.asarray(np.asarray(base)[:, idx, :])  # [1, 37, 8]
+    # time-compressed variant: token i carries chunk min(i//6, 5) — the
+    # old bucketing's implied alignment (6-token buckets, tail merged)
+    idx_old = np.minimum(np.arange(Na) // 6, Tg - 1)
+    a_compressed = jnp.asarray(np.asarray(base)[:, idx_old, :])
+    loss_true = sync_contrastive_loss(v, a_true, Tg, weight=1.0)
+    loss_comp = sync_contrastive_loss(v, a_compressed, Tg, weight=1.0)
+    assert float(loss_true) < float(loss_comp)
+
+
 def test_gradient_flows_and_jits():
     v, a = _timed_features(jax.random.PRNGKey(2))
 

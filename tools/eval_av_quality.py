@@ -183,18 +183,14 @@ def main(argv=None):
     # Precompute log-mels once per waveform: the retrieval metric compares
     # every generated clip to every real clip, and recomputing mels inside
     # logmel_l1 is O(n^2) mel transforms — the eval's wall-clock bottleneck
-    # on a 1-core host.  Same parameters as logmel_l1's defaults, so the
-    # numbers are bit-identical.
-    from multimodal_diffusion_tpu.media.audio_io import logmel as _logmel
+    # on a 1-core host.  Shares logmel_l1's own helpers (one source of
+    # truth), so the cached-path numbers are bit-identical by construction.
+    from multimodal_diffusion_tpu.eval.audio_quality import (
+        l1_from_logmels as mel_l1, logmel_default,
+    )
 
     def mel(w):
-        return _logmel(np.asarray(w, np.float32).reshape(-1), sr,
-                       n_fft=1024, hop=256, n_mels=64, fmin=20.0,
-                       fmax=sr / 2, eps=1e-6)
-
-    def mel_l1(A, B):
-        T = min(A.shape[1], B.shape[1])
-        return float(np.mean(np.abs(A[:, :T] - B[:, :T])))
+        return logmel_default(w, sr)
 
     mels_real = [mel(w) for w in real_wavs]
 

@@ -44,7 +44,6 @@ rows = sorted(Path(sys.argv[1]).glob("evalN_*.json"),
 for p in rows:
     d = json.load(open(p))["mean"]
     nan = float("nan")
-    sep = d["av_sync_corr_gen"] - d["av_sync_corr_shuf"]
     mg, mgt = d.get("gap_mouth0_gen", nan), d.get("gap_mouth0_gen_t", nan)
     mr = d.get("gap_mouth0_real", nan)
     fg = d.get("gap0_gen", nan)

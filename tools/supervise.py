@@ -25,7 +25,11 @@ Semantics:
   * on stall: SIGTERM (the trainer checkpoints cleanly and exits —
     tests/test_preemption.py), escalate to SIGKILL after --grace-seconds.
   * restart the SAME command (include --resume so training continues);
-    stop after --max-restarts or when the child exits 0.
+    stop after --max-restarts or when the child exits 0 WITHOUT a stall
+    kill (a clean exit 0 after our stall SIGTERM is the trainer's preempt
+    path, not completion — it restarts).
+  * fast (< 120 s) no-progress exits repeating the same rc are treated as
+    a deterministic bug after 4 tries, not an infrastructure outage.
 
 Exit code: the child's last exit code (0 on normal completion).
 Never kills by pattern — only the child PID it spawned.
@@ -119,6 +123,10 @@ def main(argv=None):
     ap.add_argument("--outage-backoff-seconds", type=float, default=300.0,
                     help="backoff between launch-failure retries (don't "
                          "hammer a down tunnel)")
+    ap.add_argument("--fast-fail-seconds", type=float, default=120.0,
+                    help="no-progress exits faster than this repeating the "
+                         "same rc are a deterministic bug (give up after 4), "
+                         "not an outage; 0 disables the classifier")
     ap.add_argument("cmd", nargs=argparse.REMAINDER,
                     help="-- command to run")
     args = ap.parse_args(argv)
@@ -137,18 +145,50 @@ def main(argv=None):
 
     attempt = 0
     launch_fails = 0
+    fast_fails = 0      # consecutive identical-rc no-progress exits < 120 s
+    last_fast_rc = None
     rc = 1
     while attempt <= args.max_restarts:
+        t_run = time.time()
         rc, stalled, progressed = run_once(
             cmd, args.progress_file, args.startup_seconds,
             args.stall_seconds, args.grace_seconds, log)
-        if rc == 0:
+        runtime = time.time() - t_run
+        if rc == 0 and not stalled:
             log("[supervise] child completed cleanly")
             return 0
+        if rc == 0 and stalled:
+            # the trainer's preempt path checkpoints and exits 0 on our
+            # stall SIGTERM — that is NOT completion; restart so the run
+            # continues from the checkpoint (the bug this guards against:
+            # a co-tenant slowdown tripping the stall detector used to
+            # make the supervisor declare victory mid-run)
+            attempt += 1
+            if attempt > args.max_restarts:
+                break
+            log(f"[supervise] restart {attempt}/{args.max_restarts} "
+                f"(stall, clean child exit) after "
+                f"{args.backoff_seconds:.0f}s backoff")
+            time.sleep(args.backoff_seconds)
+            continue
         if not stalled and not progressed:
-            # never reached a first logged step: launch/backend failure
-            # (e.g. tunnel outage), not a training bug — separate budget,
-            # longer backoff
+            # never reached a first logged step.  A fast exit (< 120 s)
+            # repeating the same rc is a deterministic code/config bug —
+            # surface it after a few tries instead of burning the
+            # multi-hour outage budget on it.  Slow no-progress exits
+            # (upload/compile then backend error) keep the outage budget:
+            # that's the tunnel-down signature.
+            fast = runtime < args.fast_fail_seconds
+            if fast and rc == last_fast_rc:
+                fast_fails += 1
+            else:
+                fast_fails = 1 if fast else 0
+            last_fast_rc = rc if fast else None
+            if fast_fails >= 4:
+                log(f"[supervise] giving up: {fast_fails} consecutive fast "
+                    f"identical failures (rc={rc}) — deterministic bug, "
+                    f"not an outage")
+                return rc if rc else 1
             launch_fails += 1
             if launch_fails > args.max_launch_failures:
                 log(f"[supervise] giving up: {launch_fails} launch failures")

@@ -18,8 +18,18 @@ while true; do
     step=$(basename "$d")
     [[ "$step" =~ ^[0-9]+$ ]] || continue
     out="$OUT/eval_${step}.json"
-    [[ -f "$out" || -f "$out.running" ]] && continue
+    [[ -f "$out" ]] && continue
+    if [[ -f "$out.running" ]]; then
+      # a sentinel left behind by a killed watcher / host reset would skip
+      # this checkpoint forever; reclaim it once it outlives any real eval
+      if [[ -z "$(find "$out.running" -mmin +150 2>/dev/null)" ]]; then
+        continue
+      fi
+      echo "[watch_spec_eval] reclaiming stale sentinel for step $step"
+      rm -f "$out.running"
+    fi
     touch "$out.running"
+    trap 'rm -f "$out.running"' EXIT INT TERM
     echo "[watch_spec_eval] $(date -u +%H:%M:%S) evaluating step $step"
     ov="$OUT/.eval_${step}.yaml"
     printf 'paths:\n  ckpt_path: "%s/%s"\n' "$DIR" "$step" > "$ov"
