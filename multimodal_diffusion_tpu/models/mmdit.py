@@ -175,11 +175,11 @@ class Attention(nn.Module):
             # key-padding composes with the ring: the validity shard
             # (True = real token) travels with its K/V block (VERDICT r2 #5)
             kv_valid = None if key_padding_mask is None else ~key_padding_mask
-            # flash-backed ring (parallel.context_flash) only on
-            # deterministic passes: the per-block Pallas kernels carry no
-            # vjp, so training keeps the differentiable einsum body
-            impl = ("flash" if self.context_flash and deterministic
-                    else "einsum")
+            # flash-backed ring (parallel.context_flash) serves BOTH
+            # directions: the ring's custom_vjp replays K/V blocks against
+            # the Pallas flash backward kernels with global lse/delta, so
+            # training is O(block) memory too (ops/ring_attention.py)
+            impl = "flash" if self.context_flash else "einsum"
             out = ring_attention_sharded(q, k, v, self.mesh,
                                          axis=self.context_axis,
                                          kv_valid=kv_valid, impl=impl)

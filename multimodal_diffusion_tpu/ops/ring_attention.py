@@ -84,22 +84,25 @@ def _ring_attention_local(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return (acc / jnp.maximum(l, 1e-30)).astype(q.dtype)
 
 
-def _ring_attention_local_flash(q: jnp.ndarray, k: jnp.ndarray,
-                                v: jnp.ndarray, kv_valid: jnp.ndarray,
-                                *, axis: str) -> jnp.ndarray:
-    """Flash-kernel ring body: each ring step runs the Pallas flash forward
-    on the CURRENT K/V block (O(BLOCK_Q x BLOCK_K) VMEM working set — the
-    [Nl x Nl] score matrix of the einsum body is never materialized) and
-    the per-block normalized outputs are merged with log-sum-exp algebra:
+def _ring_flash_fwd_core(q, k, v, valid_f, *, axis: str):
+    """Flash-kernel ring forward: each ring step runs the Pallas flash
+    forward on the CURRENT K/V block (O(BLOCK_Q x BLOCK_K) VMEM working set
+    — the [Nl x Nl] score matrix of the einsum body is never materialized)
+    and the per-block normalized outputs are merged with log-sum-exp
+    algebra:
 
         out = sum_i exp(lse_i - lse_total) * out_i,
         lse_total = logsumexp_i(lse_i)
 
     which is exact because flash returns out_i = acc_i / l_i together with
     lse_i = m_i + log(l_i).  A fully-masked block yields lse_i ~ -1e30 and
-    weight ~0, preserving the zeros contract.  FORWARD-ONLY: the raw
-    pallas kernels carry no vjp, so this path is for inference/eval
-    (mmdit routes it only when `deterministic`)."""
+    weight ~0, preserving the zeros contract.
+
+    valid_f: [B, Nl] float32 key-validity (1.0 = real token; float so the
+    custom_vjp can hand back a zero cotangent, same trick as
+    flash_attention._flash_masked).  Returns (out [B,H,Nl,Dh],
+    lse_total [B,H,Nl,1] fp32 in scaled-score space — the statistic the
+    ring backward replays blocks against)."""
     from .flash_attention import _flash_forward
 
     n_dev = jax.lax.psum(1, axis)
@@ -113,7 +116,7 @@ def _ring_attention_local_flash(q: jnp.ndarray, k: jnp.ndarray,
     def body(carry, _):
         k_cur, v_cur, valid_cur, lse, acc = carry
         out_i, lse_flat = _flash_forward(q, k_cur, v_cur,
-                                         kpad=jnp.logical_not(valid_cur))
+                                         kpad=valid_cur < 0.5)
         lse_i = lse_flat[:, :Nl, :].reshape(B, H, Nl, 1)
         lse_new = jnp.logaddexp(lse, lse_i)
         # exp(-inf - -inf) guard: a row with no valid keys anywhere keeps
@@ -127,10 +130,81 @@ def _ring_attention_local_flash(q: jnp.ndarray, k: jnp.ndarray,
         valid_nxt = jax.lax.ppermute(valid_cur, axis, perm)
         return (k_nxt, v_nxt, valid_nxt, lse_new, acc), None
 
-    (_, _, _, _, acc), _ = jax.lax.scan(
-        body, (k, v, kv_valid, lse0, acc0), None, length=n_dev
+    (_, _, _, lse, acc), _ = jax.lax.scan(
+        body, (k, v, valid_f, lse0, acc0), None, length=n_dev
     )
-    return acc.astype(q.dtype)
+    return acc.astype(q.dtype), lse
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _ring_attention_local_flash(q, k, v, valid_f, axis: str):
+    """Differentiable flash-backed ring body (per device, inside shard_map).
+
+    Backward is the standard ring-flash scheme (RingAttention /
+    flash-attention-2 backward with GLOBAL statistics): the forward saves
+    the merged lse_total; the backward replays the K/V ring, calling the
+    Pallas flash backward kernels per block with the global lse and
+    delta = rowsum(dO * O) — which are exactly the inputs those kernels
+    already take — accumulating dq locally while each block's dk/dv
+    cotangents ride the ring home with their block.  Peak memory stays
+    O(Nl * Dh) per device; no [Nl x Nl] score matrix is ever formed in
+    either direction."""
+    out, _ = _ring_flash_fwd_core(q, k, v, valid_f, axis=axis)
+    return out
+
+
+def _ring_flash_vjp_fwd(q, k, v, valid_f, axis: str):
+    out, lse = _ring_flash_fwd_core(q, k, v, valid_f, axis=axis)
+    return out, (q, k, v, valid_f, out, lse)
+
+
+def _ring_flash_vjp_bwd(axis: str, res, g):
+    from .flash_attention import _flash_backward
+
+    q, k, v, valid_f, out, lse = res
+    B, H, Nl, Dh = q.shape
+    n_dev = jax.lax.psum(1, axis)
+    perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+
+    # the flash bwd kernels take lse in the forward's flat padded layout
+    # [B*H, pad_q, 1]; padded rows are harmless there (their dO rows are
+    # zero-padded inside _flash_backward, so their contributions vanish)
+    block_q = 128  # flash_attention.BLOCK_Q
+    pad_q = -(-Nl // block_q) * block_q
+    lse_flat = lse.reshape(B * H, Nl, 1)
+    if pad_q > Nl:
+        lse_flat = jnp.pad(lse_flat, ((0, 0), (0, pad_q - Nl), (0, 0)))
+
+    dq0 = jnp.zeros_like(q, jnp.float32)
+    dk0 = jnp.zeros_like(k, jnp.float32)
+    dv0 = jnp.zeros_like(v, jnp.float32)
+
+    def body(carry, _):
+        k_cur, v_cur, valid_cur, dk_acc, dv_acc, dq_acc = carry
+        dq_i, dk_i, dv_i = _flash_backward(
+            q, k_cur, v_cur, out, lse_flat, g, kpad=valid_cur < 0.5)
+        dq_acc = dq_acc + dq_i.astype(jnp.float32)
+        dk_acc = dk_acc + dk_i.astype(jnp.float32)
+        dv_acc = dv_acc + dv_i.astype(jnp.float32)
+        # dk/dv cotangents travel WITH their K/V block: after n_dev hops
+        # each block (and its accumulated gradient) is back home having
+        # collected every device's query contributions
+        k_nxt = jax.lax.ppermute(k_cur, axis, perm)
+        v_nxt = jax.lax.ppermute(v_cur, axis, perm)
+        valid_nxt = jax.lax.ppermute(valid_cur, axis, perm)
+        dk_nxt = jax.lax.ppermute(dk_acc, axis, perm)
+        dv_nxt = jax.lax.ppermute(dv_acc, axis, perm)
+        return (k_nxt, v_nxt, valid_nxt, dk_nxt, dv_nxt, dq_acc), None
+
+    (k_fin, _, _, dk, dv, dq), _ = jax.lax.scan(
+        body, (k, v, valid_f, dk0, dv0, dq0), None, length=n_dev
+    )
+    del k_fin
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+            jnp.zeros_like(valid_f))
+
+
+_ring_attention_local_flash.defvjp(_ring_flash_vjp_fwd, _ring_flash_vjp_bwd)
 
 
 def ring_attention_sharded(
@@ -157,10 +231,11 @@ def ring_attention_sharded(
     the validity shard travels the ring with its K/V block.  None means all
     keys attendable.
 
-    impl: "einsum" (differentiable; materializes one [B, H, Nl, Nl] score
-    block per ring step) or "flash" (Pallas flash kernel per block merged
-    by LSE algebra — O(block) memory, FORWARD-ONLY; use for inference on
-    long windows)."""
+    impl: "einsum" (materializes one [B, H, Nl, Nl] score block per ring
+    step) or "flash" (Pallas flash kernel per block merged by LSE algebra
+    — O(block) memory in BOTH directions: the backward replays the ring
+    against the flash bwd kernels with global lse/delta).  Both
+    differentiable."""
     n_dev = mesh.shape[axis]
     if q.shape[2] % n_dev:
         raise ValueError(f"sequence {q.shape[2]} not divisible by {axis}={n_dev}")
@@ -182,12 +257,18 @@ def ring_attention_sharded(
 
     if impl not in {"einsum", "flash"}:
         raise ValueError(f"impl must be einsum|flash, got {impl!r}")
-    local = (_ring_attention_local_flash if impl == "flash"
-             else _ring_attention_local)
+    if impl == "flash":
+        # axis must be positional (custom_vjp nondiff arg); validity goes
+        # float so the vjp can return a zero cotangent for it
+        def local(q_, k_, v_, valid_):
+            return _ring_attention_local_flash(
+                q_, k_, v_, valid_.astype(jnp.float32), axis)
+    else:
+        local = functools.partial(_ring_attention_local, axis=axis)
     b_ax = pick(batch_axis, 0)
     spec = P(b_ax, pick(head_axis, 1), axis, None)
     fn = shard_map(
-        functools.partial(local, axis=axis),
+        local,
         mesh=mesh,
         in_specs=(spec, spec, spec, P(b_ax, axis)),
         out_specs=spec,
