@@ -107,6 +107,11 @@ CROSS_RULES = [
     (lambda c: not _get(c, "parallel.context_flash")
      or int(_get(c, "parallel.context") or 1) > 1,
      "parallel.context_flash requires parallel.context > 1"),
+    # the ring bodies have no cross-device-consistent RNG for per-prob
+    # dropout; mmdit raises at trace time, this catches it at config time
+    (lambda c: int(_get(c, "parallel.context") or 1) <= 1
+     or float(_get(c, "model.core.attn_dropout") or 0.0) == 0.0,
+     "parallel.context > 1 requires model.core.attn_dropout == 0"),
     # with the diffusion gradient stopped at the encoder outputs,
     # reconstruction is the encoders' ONLY training signal — without it
     # they would never train at all

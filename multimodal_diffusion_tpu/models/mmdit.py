@@ -169,9 +169,18 @@ class Attention(nn.Module):
             # sequence the context axis can't divide)
             and N % self.mesh.shape[self.context_axis] == 0
         )
+        attn_drop_active = not deterministic and self.attn_dropout > 0.0
         if use_cp:
             from ..ops.ring_attention import ring_attention_sharded
 
+            if attn_drop_active:
+                # per-probability dropout would need an RNG consistent
+                # across ring steps AND devices; fail at trace time rather
+                # than silently train without it
+                raise NotImplementedError(
+                    "attn_dropout > 0 is not supported under context "
+                    "parallelism; set model.core.attn_dropout: 0 or "
+                    "parallel.context: 1")
             # key-padding composes with the ring: the validity shard
             # (True = real token) travels with its K/V block (VERDICT r2 #5)
             kv_valid = None if key_padding_mask is None else ~key_padding_mask
@@ -183,6 +192,25 @@ class Attention(nn.Module):
             out = ring_attention_sharded(q, k, v, self.mesh,
                                          axis=self.context_axis,
                                          kv_valid=kv_valid, impl=impl)
+        elif attn_drop_active:
+            # reference parity (mmdt.py:51-61): torch MultiheadAttention
+            # drops attention PROBABILITIES at train time.  The flash
+            # kernel has no in-kernel RNG, so the training pass with
+            # attn_dropout takes the XLA body (inference still flashes).
+            from ..ops.attention import padding_bias
+
+            scale = 1.0 / jnp.sqrt(jnp.asarray(Dh, jnp.float32))
+            logits = jnp.einsum(
+                "bhnd,bhmd->bhnm", q, k,
+                preferred_element_type=jnp.float32) * scale
+            if key_padding_mask is not None:
+                logits = logits + padding_bias(key_padding_mask, N)
+            probs = jax.nn.softmax(logits, axis=-1)
+            probs = nn.Dropout(self.attn_dropout)(
+                probs, deterministic=False)
+            out = jnp.einsum(
+                "bhnm,bhmd->bhnd", probs.astype(q.dtype), v,
+                preferred_element_type=jnp.float32).astype(q.dtype)
         else:
             out = multi_head_attention(q, k, v,
                                        key_padding_mask=key_padding_mask)

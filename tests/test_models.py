@@ -61,6 +61,35 @@ def test_mmdit_token_dropout_train_mode():
     assert not np.allclose(np.asarray(y_det), np.asarray(y_trn))
 
 
+def test_mmdit_attn_dropout_train_mode():
+    """attn_dropout drops attention PROBABILITIES at train time (reference
+    nn.MultiheadAttention semantics, mmdt.py:51-61) — it used to be parsed
+    and silently ignored.  Inference must be unaffected and rng-dependent
+    at train time."""
+    cfg = MMDiTConfig(d_model=32, n_layers=1, n_heads=2, dropout=0.0,
+                      attn_dropout=0.5)
+    x = jax.random.normal(KEY, (2, 10, 32))
+    m = MMDiT(cfg)
+    params = m.init(KEY, x)
+    y_det = m.apply(params, x, None, True)
+    y_t1 = m.apply(params, x, None, False,
+                   rngs={"dropout": jax.random.PRNGKey(3)})
+    y_t2 = m.apply(params, x, None, False,
+                   rngs={"dropout": jax.random.PRNGKey(4)})
+    assert not np.allclose(np.asarray(y_det), np.asarray(y_t1))
+    assert not np.allclose(np.asarray(y_t1), np.asarray(y_t2))
+    # the zero-dropout config is untouched: train == eval
+    cfg0 = MMDiTConfig(d_model=32, n_layers=1, n_heads=2, dropout=0.0,
+                       attn_dropout=0.0)
+    m0 = MMDiT(cfg0)
+    p0 = m0.init(KEY, x)
+    np.testing.assert_allclose(
+        np.asarray(m0.apply(p0, x, None, True)),
+        np.asarray(m0.apply(p0, x, None, False,
+                            rngs={"dropout": jax.random.PRNGKey(3)})),
+        rtol=1e-6, atol=1e-6)
+
+
 def test_mmdit_rope_runs():
     cfg = MMDiTConfig(d_model=32, n_layers=1, n_heads=2, rope=True, dropout=0.0)
     x = jax.random.normal(KEY, (1, 12, 32))
