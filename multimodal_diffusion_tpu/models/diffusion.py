@@ -32,12 +32,12 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import tokenize as tk
-from ..ops.schedule import timestep_embedding
 from .adapters import (
     LinearAdapter,
     ModalityEmbedding,
     PositionalEmbedding1D,
     PositionalEmbedding3D,
+    TimestepEmbedder,
 )
 from .audio_codec import AudioCodec, AudioCodecConfig
 from .heads import MultiModalNoiseHead
@@ -59,9 +59,18 @@ class AVDiffusionConfig:
     head_hidden: int = 512
     head_dropout: float = 0.1
     head_activation: str = "gelu"
+    # model.heads.*.num_layers -> shared-trunk depth (was parsed-and-ignored,
+    # hardcoded 2; reference noise_heads.py:162-172 configures trunk depth)
+    head_num_layers: int = 2
     out_dim_v: int = 256
     out_dim_a: int = 32
     timestep_dim: int = 256  # recorded for config parity; ADD convention uses width
+    # embeddings.timestep_embed: "sinusoidal" (parameterless, reference
+    # trainer convention) | "mlp" (sinusoidal -> SiLU MLP refinement, the
+    # reference's TimestepEmbedder mlp mode, adapters.py:137-158).  Was
+    # parsed-and-ignored before; "sinusoidal" keeps the exact old compute
+    # and parameter tree.
+    timestep_mode: str = "sinusoidal"
     use_modality_embed: bool = True
     posenc_video: str = "learned_3d"  # "learned_3d" | "sin" | "none"
     posenc_audio: str = "learned_1d"  # "learned_1d" | "sin" | "none"
@@ -157,11 +166,13 @@ class AVDiffusionConfig:
             core=MMDiTConfig.from_dict(cfg["model"]["core"], dtype=dtype,
                                        remat=remat, **core_extra),
             head_hidden=int(heads["video"]["hidden_dim"]),
+            head_num_layers=int(heads["video"].get("num_layers", 2)),
             head_dropout=float(cfg["model"]["core"].get("dropout", 0.1)),
             head_activation=heads["video"].get("activation", "gelu"),
             out_dim_v=int(heads["video"]["out_dim"]),
             out_dim_a=int(heads["audio"]["out_dim"]),
             timestep_dim=int(emb.get("timestep_dim", 256)),
+            timestep_mode=str(emb.get("timestep_embed", "sinusoidal")),
             use_modality_embed=bool(emb.get("use_modality_embed", True)),
             posenc_video=str(posenc.get("video", "learned_3d")),
             posenc_audio=str(posenc.get("audio", "learned_1d")),
@@ -261,11 +272,20 @@ class AVDiffusionModel(nn.Module):
         if c.mouth_enabled:
             self.adapt_m = LinearAdapter(c.width, dtype=c.dtype)
         self.embed = _Embeddings(c)
+        if c.timestep_mode not in ("sinusoidal", "mlp"):
+            raise ValueError(
+                f"embeddings.timestep_embed must be sinusoidal|mlp, got "
+                f"{c.timestep_mode!r}")
+        # parameterless in sinusoidal mode (identical compute + param tree
+        # to the old inline timestep_embedding adds)
+        self.t_embed = TimestepEmbedder(
+            dim=c.width, mode="mlp" if c.timestep_mode == "mlp" else "sin",
+            dtype=c.dtype)
         self.core = MMDiT(c.core)
         self.head = MultiModalNoiseHead(
             output_dims={"video": c.out_dim_v, "audio": c.out_dim_a},
             hidden_dim=c.head_hidden,
-            num_shared_layers=2,
+            num_shared_layers=c.head_num_layers,
             num_modality_specific_layers=1,
             dropout=c.head_dropout,
             activation=c.head_activation,
@@ -359,10 +379,11 @@ class AVDiffusionModel(nn.Module):
         Xv = self.adapt_v(tok_v)
         Xa = self.adapt_a(tok_a)
         Xv, Xa = self.embed(Xv, Xa, video_grid)
-        # ADD width-d sinusoidal timestep embedding (trainer convention,
-        # trainer.py:45-49); fp32 table cast to compute dtype.
-        Xv = Xv + timestep_embedding(t_v, c.width).astype(Xv.dtype)[:, None, :]
-        Xa = Xa + timestep_embedding(t_a, c.width).astype(Xa.dtype)[:, None, :]
+        # ADD width-d timestep embedding (trainer convention,
+        # trainer.py:45-49); sinusoidal mode is the parameterless fp32
+        # table, mlp mode refines it (embeddings.timestep_embed).
+        Xv = Xv + self.t_embed(t_v).astype(Xv.dtype)[:, None, :]
+        Xa = Xa + self.t_embed(t_a).astype(Xa.dtype)[:, None, :]
         if keep_v is not None:
             Xv = Xv * keep_v.astype(Xv.dtype)[:, None, None]
         if keep_a is not None:
@@ -375,8 +396,8 @@ class AVDiffusionModel(nn.Module):
             Xm = self.adapt_m(tok_m)
             Xm = self.embed.mouth(Xm, mouth_grid)
             # clean conditioning: embedded at t=0 like the frozen prompt
-            Xm = Xm + timestep_embedding(
-                jnp.zeros_like(t_v), c.width).astype(Xm.dtype)[:, None, :]
+            Xm = Xm + self.t_embed(
+                jnp.zeros_like(t_v)).astype(Xm.dtype)[:, None, :]
             if keep_m is not None:
                 Xm = Xm * keep_m.astype(Xm.dtype)[:, None, None]
             parts.append(Xm)

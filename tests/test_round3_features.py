@@ -477,3 +477,62 @@ def test_encoder_stopgrad_validator_rule():
     assert any("recon_loss_weight" in e for e in errs), errs
     cfg["training"]["recon_loss_weight"] = 1.0
     assert not any("recon_loss_weight" in e for e in validate(cfg))
+
+
+def test_head_num_layers_and_timestep_embed_are_consumed():
+    """model.heads.*.num_layers and embeddings.timestep_embed were parsed
+    but silently ignored (hardcoded trunk depth 2 / always-sinusoidal).
+    num_layers must change the shared-trunk depth; timestep_embed: mlp must
+    add (shared) refinement params; sinusoidal must keep the parameter tree
+    EXACTLY as before so existing checkpoints load."""
+    import copy
+
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_diffusion_tpu.models.diffusion import (
+        AVDiffusionConfig, AVDiffusionModel,
+    )
+    from tests._tiny import tiny_cfg
+
+    def init_params(cfg):
+        mcfg = AVDiffusionConfig.from_config(cfg)
+        model = AVDiffusionModel(mcfg)
+        zs = {
+            "z_v": jnp.zeros((1, 8, 2, 4, 4), jnp.float32),
+            "z_a": jnp.zeros((1, 8, 50), jnp.float32),
+        }
+        t = jnp.zeros((1,), jnp.int32)
+        v = model.init({"params": jax.random.PRNGKey(0)}, zs["z_v"],
+                       zs["z_a"], t, t, method=model.denoise_latents)
+        return model, v["params"], zs, t
+
+    base = tiny_cfg()
+    _, p2, _, _ = init_params(base)
+
+    deeper = copy.deepcopy(base)
+    deeper["model"]["heads"]["video"]["num_layers"] = 3
+    _, p3, _, _ = init_params(deeper)
+    trunk2 = {k for k in p2["head"] if k.startswith("shared_")}
+    trunk3 = {k for k in p3["head"] if k.startswith("shared_")}
+    assert len(trunk3) == len(trunk2) + 1, (trunk2, trunk3)
+
+    # sinusoidal keeps the old tree: no t_embed params
+    assert "t_embed" not in p2, list(p2)
+
+    mlp = copy.deepcopy(base)
+    mlp["embeddings"]["timestep_embed"] = "mlp"
+    model, pm, zs, t = init_params(mlp)
+    assert "t_embed" in pm, list(pm)
+    out = model.apply({"params": pm}, zs["z_v"], zs["z_a"], t, t,
+                      method=model.denoise_latents)
+    import numpy as np
+
+    assert np.isfinite(np.asarray(out["eps_v"])).all()
+
+    bad = copy.deepcopy(base)
+    bad["embeddings"]["timestep_embed"] = "learned"
+    import pytest
+
+    with pytest.raises(ValueError, match="timestep_embed"):
+        init_params(bad)
