@@ -98,15 +98,18 @@ def test_ring_attention_flash_impl_matches_einsum(axis_size):
                                rtol=2e-5, atol=2e-5)
 
 
-@pytest.mark.parametrize("masked", [False, True])
-def test_ring_attention_flash_gradients_match_reference(masked):
+@pytest.mark.parametrize("masked,axis_size", [(False, 2), (True, 2),
+                                              (False, 4)])
+def test_ring_attention_flash_gradients_match_reference(masked, axis_size):
     """The flash ring is differentiable: its custom_vjp replays the K/V
     ring against the Pallas flash backward kernels with GLOBAL lse/delta
     (the standard RingAttention backward).  dq/dk/dv must match dense
     single-device attention, masked and unmasked — this is what makes
     `parallel.context_flash` usable for O(block)-memory TRAINING, not just
-    inference (closes the 'forward-only' caveat on VERDICT r2 weak #4)."""
-    axis_size = 2
+    inference (closes the 'forward-only' caveat on VERDICT r2 weak #4).
+    axis_size=4 guards the ring-rotation bookkeeping (each block's dk/dv
+    accumulator must travel exactly one full circle) — a 2-device ring
+    cannot distinguish rotation direction."""
     mesh = make_mesh(data=1, model=axis_size)
     N = 128 * axis_size
     shape = (2, 2, N, 16)
