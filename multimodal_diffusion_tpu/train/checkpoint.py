@@ -94,13 +94,19 @@ def state_to_tree(state) -> Dict[str, Any]:
 
 
 def params_only_tree(tree: Dict[str, Any], use_ema: bool = False) -> Dict[str, Any]:
-    """Extract inference params; optionally swap in the EMA core
+    """Extract inference params; optionally swap in the EMA weights
     (the reference saved EMA weights but never applied them — SURVEY §2.12.7;
-    we make EMA sampling available)."""
+    we make EMA sampling available).  The EMA tree's own structure says
+    what it shadows: `training.ema.scope: all` stores the full param tree
+    (same top-level keys as params -> full swap); the default core scope
+    stores only params['core']."""
     params = tree["params"]
-    if use_ema and tree.get("ema_core"):
+    ema = tree.get("ema_core")
+    if use_ema and ema:
+        if set(ema) == set(params):  # scope: all
+            return ema
         params = dict(params)
-        params["core"] = tree["ema_core"]
+        params["core"] = ema
     return params
 
 

@@ -194,6 +194,7 @@ def build_train_step(
     clean_cond_prob: float = 0.0,
     sync_weight: float = 0.0,
     sync_tau: float = 0.1,
+    ema_scope: str = "core",
 ):
     """Returns train_step(state, batch, target_is_video) -> (state, metrics).
 
@@ -294,10 +295,14 @@ def build_train_step(
         new_params = optax.apply_updates(state.params, updates)
 
         if use_ema:
+            # training.ema.scope: "core" shadows params['core'] (reference
+            # scope, SURVEY §2.12.7); "all" shadows the full tree so EMA
+            # sampling also smooths heads/adapters/decoders
+            ema_target = new_params if ema_scope == "all" else new_params["core"]
             new_ema = jax.tree_util.tree_map(
                 lambda e, p: e * ema_decay + p.astype(e.dtype) * (1.0 - ema_decay),
                 state.ema_core,
-                new_params["core"],
+                ema_target,
             )
         else:
             new_ema = state.ema_core
@@ -500,6 +505,12 @@ def create_trainer(
 
     ema_cfg = cfg["training"].get("ema", {"use_ema": True, "decay": 0.999})
     use_ema = bool(ema_cfg.get("use_ema", True))
+    ema_scope = str(ema_cfg.get("scope", "core"))
+    if ema_scope not in ("core", "all"):
+        raise ValueError(
+            f"training.ema.scope must be core|all, got {ema_scope!r}")
+    ema_src = params if ema_scope == "all" else params["core"]
+    ema_shard = param_shardings if ema_scope == "all" else param_shardings["core"]
     # EMA shadow must carry the SAME committed shardings as the core params,
     # or the second train step recompiles when the updated shadow comes back
     # with computed shardings (measured: one 110 s re-jit without this).
@@ -509,7 +520,7 @@ def create_trainer(
             # param buffer, and donating state would then donate one buffer
             # twice (runtime error)
             lambda x, s: jax.device_put(jnp.array(x, copy=True), s),
-            params["core"], param_shardings["core"],
+            ema_src, ema_shard,
         )
         if use_ema
         else {}
@@ -540,6 +551,7 @@ def create_trainer(
         clean_cond_prob=float(cfg["training"].get("clean_cond_prob", 0.0)),
         sync_weight=float(cfg["training"].get("sync_loss_weight", 0.0)),
         sync_tau=float(cfg["training"].get("sync_tau", 0.1)),
+        ema_scope=ema_scope,
     )
     train_step = jax.jit(step_fn, donate_argnums=(0,))
 

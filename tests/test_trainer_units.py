@@ -122,3 +122,51 @@ def test_run_training_logs_mfu():
                  log_fn=lambda s, m: logs.append(m))
     assert logs and "denoiser_mfu" in logs[-1] and "clips_per_sec" in logs[-1]
     assert logs[-1]["denoiser_mfu"] >= 0.0
+
+
+def test_ema_scope_all_shadows_full_tree():
+    """training.ema.scope: 'all' shadows every module (EMA sampling then
+    smooths heads/adapters/decoders too); the default 'core' keeps the
+    reference scope and the old checkpoint layout.  params_only_tree
+    detects the scope from the stored tree's structure."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from multimodal_diffusion_tpu.train.checkpoint import params_only_tree
+    from multimodal_diffusion_tpu.train.trainer import create_trainer
+
+    cfg = tiny_cfg()
+    cfg["training"]["ema"] = {"use_ema": True, "decay": 0.5, "scope": "all"}
+    tr = create_trainer(cfg)
+    assert set(tr.state.ema_core) == set(tr.state.params)
+
+    batch = {
+        "video": jnp.zeros((2, 3, 8, 32, 32), jnp.float32),
+        "audio": jnp.zeros((2, 1, 8000), jnp.float32),
+    }
+    # several steps: warmup lr starts at 0, so step 1 moves nothing
+    state = tr.state
+    for _ in range(3):
+        state, _ = tr.train_step(state, batch, jnp.asarray(1.0))
+    # decay 0.5: the shadow lags the updated params, so SOME head leaf must
+    # differ from its param (individual leaves can be zero-grad biases —
+    # check the whole subtree)
+    diffs = jax.tree_util.tree_map(
+        lambda e, p: float(np.max(np.abs(np.asarray(e) - np.asarray(p)))),
+        state.ema_core["head"], state.params["head"])
+    assert max(jax.tree_util.tree_leaves(diffs)) > 0.0
+
+    tree = {"params": state.params, "ema_core": state.ema_core}
+    out = params_only_tree(tree, use_ema=True)
+    assert set(out) == set(state.params)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(out["head"])[0]),
+        np.asarray(jax.tree_util.tree_leaves(state.ema_core["head"])[0]))
+
+    # bad scope fails loudly
+    import pytest
+
+    cfg_bad = tiny_cfg()
+    cfg_bad["training"]["ema"] = {"use_ema": True, "scope": "heads"}
+    with pytest.raises(ValueError, match="ema.scope"):
+        create_trainer(cfg_bad)
