@@ -446,17 +446,12 @@ class MMDiT(nn.Module):
             # sequential path below so the parameter tree (block_i entries)
             # is IDENTICAL to the non-pipelined core — checkpoints are
             # interchangeable between pipe and no-pipe configs.
-            if key_padding_mask is not None:
-                raise NotImplementedError(
-                    "pipeline parallelism does not carry key-padding masks "
-                    "through the stage ring yet (set seq_multiple: 1 and "
-                    "use mask-free workloads, or disable parallel.pipe)")
             if not deterministic and (cfg.dropout > 0.0
                                       or cfg.attn_dropout > 0.0):
                 raise NotImplementedError(
                     "pipeline-parallel training requires dropout == 0 "
                     "(stages run deterministically inside the schedule)")
-            x = self._pipelined_blocks(x, deterministic)
+            x = self._pipelined_blocks(x, deterministic, key_padding_mask)
         else:
             block_cls = Block
             if cfg.remat:
@@ -483,9 +478,14 @@ class MMDiT(nn.Module):
         return make_norm(cfg.norm, cfg.dtype)(x)
 
     def _pipelined_blocks(self, x: jnp.ndarray,
-                          deterministic: bool = True) -> jnp.ndarray:
+                          deterministic: bool = True,
+                          key_padding_mask: Optional[jnp.ndarray] = None,
+                          ) -> jnp.ndarray:
         """Differentiable GPipe forward over this core's own (bound) block
         params — config-reachable pipeline parallelism (VERDICT r2 #4).
+        Key-padding masks ride along: each stage indexes its microbatch's
+        mask from the replicated table (parallel/pipeline.py), so
+        seq_multiple padding and masked workloads pipeline too.
 
         The per-stage weights are restacked from the ordinary checkpoint
         tree each call (cheap device-side stack, fused by XLA); parameters
@@ -512,12 +512,17 @@ class MMDiT(nn.Module):
 
         stage_mod = _PipeStage(cfg, k, deterministic)
 
-        def stage_fn(p, h):
-            return stage_mod.apply({"params": p}, h)
+        if key_padding_mask is None:
+            def stage_fn(p, h):
+                return stage_mod.apply({"params": p}, h)
+        else:
+            def stage_fn(p, h, m):
+                return stage_mod.apply({"params": p}, h, m)
 
         return pipeline_apply(
             stage_fn, stacked, x.astype(cfg.dtype), cfg.mesh,
-            axis=cfg.pipe_axis, n_microbatches=cfg.pipe_microbatches)
+            axis=cfg.pipe_axis, n_microbatches=cfg.pipe_microbatches,
+            key_padding_mask=key_padding_mask)
 
 
 class _PipeStage(nn.Module):
@@ -533,11 +538,12 @@ class _PipeStage(nn.Module):
     deterministic: bool = True
 
     @nn.compact
-    def __call__(self, h: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, h: jnp.ndarray,
+                 mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         c = self.cfg
         for i in range(self.k):
             h = Block(c.n_heads, c.mlp_ratio, c.dropout, c.attn_dropout,
                       c.norm, c.rope, c.gelu_exact, dtype=c.dtype,
                       quant=c.quant, name=f"block_{i}")(
-                h, None, self.deterministic)
+                h, mask, self.deterministic)
         return h

@@ -51,11 +51,16 @@ def unstack_stage_params(stacked: Any, n_stages: int) -> List[Any]:
     ]
 
 
-def _pipeline_local(stage_params, x_micro, *, stage_fn, n_stages: int,
+def _pipeline_local(stage_params, x_micro, *rest, stage_fn, n_stages: int,
                     axis: str):
     """Per-device body.  stage_params: this stage's weights (leading axis
     already consumed by shard_map -> [1, ...]); x_micro: [M, b, ...]
-    microbatches (replicated)."""
+    microbatches (replicated).  Optional trailing arg: mask_micro
+    [M, b, N] key-padding masks — the mask does NOT hop the ring (it is
+    globally known): the stage at position p processes microbatch (t - p)
+    at tick t, so it indexes the mask table directly, and stage_fn is
+    called as stage_fn(params, h, mask)."""
+    mask_micro = rest[0] if rest else None
     p = jax.lax.axis_index(axis)
     M = x_micro.shape[0]
     params = jax.tree_util.tree_map(lambda t: t[0], stage_params)
@@ -75,7 +80,11 @@ def _pipeline_local(stage_params, x_micro, *, stage_fn, n_stages: int,
         # stage 0 feeds microbatch t (clamped index; bubble ticks masked)
         mb = x_micro[jnp.clip(t, 0, M - 1)]
         cur = jnp.where(p == 0, mb, incoming)
-        out = stage_fn(params, cur)
+        if mask_micro is None:
+            out = stage_fn(params, cur)
+        else:
+            out = stage_fn(params, cur,
+                           mask_micro[jnp.clip(t - p, 0, M - 1)])
         # live iff this device is processing a real microbatch: 0 <= t-p < M
         live = jnp.logical_and(t - p >= 0, t - p < M)
         out = jnp.where(live, out, 0.0)
@@ -96,18 +105,24 @@ def _pipeline_local(stage_params, x_micro, *, stage_fn, n_stages: int,
 
 
 def pipeline_apply(
-    stage_fn: Callable[[Any, jnp.ndarray], jnp.ndarray],
+    stage_fn: Callable[..., jnp.ndarray],
     stacked_params: Any,
     x: jnp.ndarray,
     mesh: Mesh,
     axis: str = "pipe",
     n_microbatches: int = 4,
+    key_padding_mask: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Run `x` [B, ...] through `n_stages` pipelined stages.
 
     stage_fn(params_i, microbatch) -> microbatch (same shape); shapes must
     be stage-invariant (true for transformer blocks).  B must divide by
-    n_microbatches.  Differentiable end-to-end."""
+    n_microbatches.  Differentiable end-to-end.
+
+    key_padding_mask [B, N] bool (True = PAD): each stage indexes the
+    microbatch it is processing out of the replicated mask table (the mask
+    never hops the ring), and stage_fn is called as
+    stage_fn(params_i, microbatch, mask_microbatch)."""
     n_stages = mesh.shape[axis]
     B = x.shape[0]
     if B % n_microbatches:
@@ -124,14 +139,23 @@ def pipeline_apply(
     batch_sub = "data" if "data" in mesh.shape and mb % mesh.shape["data"] == 0 \
         else None
     x_spec = P(None, batch_sub)
+    in_specs = [params_spec, x_spec]
+    operands = [stacked_params, x_micro]
+    if key_padding_mask is not None:
+        if key_padding_mask.shape[0] != B:
+            raise ValueError(
+                f"key_padding_mask batch {key_padding_mask.shape[0]} != {B}")
+        operands.append(key_padding_mask.reshape(
+            (n_microbatches, mb) + key_padding_mask.shape[1:]))
+        in_specs.append(P(None, batch_sub))
     fn = shard_map(
         functools.partial(_pipeline_local, stage_fn=stage_fn,
                           n_stages=n_stages, axis=axis),
         mesh=mesh,
-        in_specs=(params_spec, x_spec),
+        in_specs=tuple(in_specs),
         out_specs=x_spec,
     )
-    out = fn(stacked_params, x_micro)
+    out = fn(*operands)
     return out.reshape((B,) + out.shape[2:])
 
 
@@ -147,6 +171,7 @@ def mmdit_pipeline_apply(
     mesh: Mesh,
     axis: str = "pipe",
     n_microbatches: int = 4,
+    key_padding_mask: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Checkpoint-compatible pipelined MMDiT forward.
 
@@ -167,12 +192,12 @@ def mmdit_pipeline_apply(
 
     class Stage(nn.Module):
         @nn.compact
-        def __call__(self, h):
+        def __call__(self, h, mask=None):
             for i in range(k):
                 h = Block(core_cfg.n_heads, core_cfg.mlp_ratio,
                           core_cfg.dropout, core_cfg.attn_dropout,
                           core_cfg.norm, core_cfg.rope, core_cfg.gelu_exact,
-                          dtype=core_cfg.dtype, name=f"block_{i}")(h)
+                          dtype=core_cfg.dtype, name=f"block_{i}")(h, mask)
             return h
 
     stage = Stage()
@@ -184,11 +209,16 @@ def mmdit_pipeline_apply(
         })
     stacked = stack_stage_params(per_stage)
 
-    def stage_fn(p, h):
-        return stage.apply({"params": p}, h)
+    if key_padding_mask is None:
+        def stage_fn(p, h):
+            return stage.apply({"params": p}, h)
+    else:
+        def stage_fn(p, h, m):
+            return stage.apply({"params": p}, h, m)
 
     h = pipeline_apply(stage_fn, stacked, x.astype(core_cfg.dtype), mesh,
-                       axis=axis, n_microbatches=n_microbatches)
+                       axis=axis, n_microbatches=n_microbatches,
+                       key_padding_mask=key_padding_mask)
 
     # final norm: params live under the norm module's name in core_params
     norm = make_norm(core_cfg.norm, core_cfg.dtype)
