@@ -91,7 +91,9 @@ def test_pipe_guards():
     with pytest.raises(ValueError, match="'pipe' axis"):
         AVDiffusionConfig.from_config(cfg2, mesh=None)
 
-    # masks are rejected inside the pipelined core
+    # masks now pipeline (each stage indexes its microbatch's mask from
+    # the replicated table — tests/test_pipeline.py has the parity checks);
+    # the pipelined core must ACCEPT them
     from multimodal_diffusion_tpu.models.mmdit import MMDiT, MMDiTConfig
 
     mesh = make_mesh_from_config({"parallel": {"data": 1, "model": 1,
@@ -102,8 +104,8 @@ def test_pipe_guards():
                              pipe_microbatches=2))
     x = jnp.zeros((2, 8, 32))
     v = core.init({"params": jax.random.PRNGKey(0)}, x)
-    with pytest.raises(NotImplementedError, match="key-padding"):
-        core.apply(v, x, jnp.zeros((2, 8), bool))
+    out = core.apply(v, x, jnp.zeros((2, 8), bool))
+    assert np.isfinite(np.asarray(out)).all()
 
     # active dropout is rejected in pipelined training
     core_d = MMDiT(MMDiTConfig(d_model=32, n_layers=2, n_heads=2,
