@@ -213,3 +213,53 @@ def test_eval_report_emits_gen_and_real_gap_keys():
                    for r in rows])
     assert abs(rep["gap0_gen"] - exp) < 1e-12
     assert "gap_logmel" in rep and rep["n_clips"] == 8
+
+
+def _load_eval_tool():
+    import importlib.util
+    import pathlib
+    spec = importlib.util.spec_from_file_location(
+        "eval_av_quality",
+        pathlib.Path(__file__).resolve().parents[1]
+        / "tools" / "eval_av_quality.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_env_corr0_separates_matched_from_shuffled():
+    """Audio<->audio envelope timing instrument: a waveform whose loudness
+    envelope matches the target's scores ~1.0 at zero lag regardless of
+    carrier content; a time-shifted envelope scores clearly lower.  This is
+    the property the motion-envelope proxy lacks on GRID (real-audio anchor
+    gaps of only +0.03..0.07, PERFORMANCE.md)."""
+    mod = _load_eval_tool()
+    sr = 16000
+    t = np.arange(3 * sr) / sr
+    env = 0.5 + 0.5 * np.sin(2 * np.pi * 1.7 * t)          # 1.7 Hz AM
+    own = np.sin(2 * np.pi * 220 * t) * env                  # same envelope,
+    gen = np.random.default_rng(0).normal(size=t.size) * env  # any carrier
+    shifted = np.roll(own, int(0.29 * sr))                   # ~0.3 s off
+
+    c_own = mod.env_corr0(gen, own, sr)
+    c_shift = mod.env_corr0(gen, shifted, sr)
+    assert c_own > 0.95
+    assert c_own - c_shift > 0.5
+
+
+def test_eval_report_emits_env_gap_keys():
+    mod = _load_eval_tool()
+    rng = np.random.default_rng(1)
+    rows = []
+    for _ in range(6):
+        rows.append({
+            "logmel_l1": float(rng.uniform(2, 3)),
+            "logmel_l1_shuf": float(rng.uniform(2, 3)),
+            "env_corr_gen": float(rng.uniform(-1, 1)),
+            "env_corr_shuf": float(rng.uniform(-1, 1)),
+            "env_corr_real_shuf": float(rng.uniform(-1, 1)),
+        })
+    rep = mod.build_report(rows, [])
+    assert "gap_env" in rep and "gap_env_t" in rep
+    exp = np.mean([r["env_corr_gen"] - r["env_corr_shuf"] for r in rows])
+    assert abs(rep["gap_env"] - exp) < 1e-12

@@ -68,8 +68,35 @@ def build_report(rows, variant_sufs):
     st = paired("logmel_l1_shuf", "logmel_l1")
     if st:
         report["gap_logmel"], report["gap_logmel_t"] = st
+    st = paired("env_corr_gen", "env_corr_shuf")
+    if st:
+        report["gap_env"], report["gap_env_t"] = st
     report["n_clips"] = len(rows)
     return report
+
+
+def env_corr0(wav_a: np.ndarray, wav_b: np.ndarray, sr: int,
+              hz: float = 100.0) -> float:
+    """Zero-lag Pearson correlation of the two waveforms' 10 ms RMS
+    envelopes — a direct audio<->audio TIMING instrument.
+
+    The motion-envelope sync metrics proxy timing through video motion,
+    and on GRID that instrument saturates (the measured real-audio anchor
+    gaps are +0.03..0.07, PERFORMANCE.md "Envelope-correlation ceiling").
+    Comparing the GENERATED audio's loudness envelope directly against the
+    ground-truth audio's removes the video proxy: real audio scores 1.0
+    against itself by construction, and a shuffled clip's envelope only
+    scores the corpus's shared-cadence floor — so per-clip temporal
+    specificity has full headroom here.  100 Hz hop resolves word-level
+    timing (the 16 Hz frame-rate envelope cannot)."""
+    from multimodal_diffusion_tpu.eval.av_sync import audio_rms_envelope
+
+    ea = audio_rms_envelope(np.asarray(wav_a, np.float64), sr, hz)
+    eb = audio_rms_envelope(np.asarray(wav_b, np.float64), sr, hz)
+    L = min(len(ea), len(eb))
+    if L < 3:
+        return 0.0
+    return float(np.corrcoef(ea[:L], eb[:L])[0, 1])
 
 
 def main(argv=None):
@@ -225,7 +252,12 @@ def main(argv=None):
                                           max_lag_seconds=ml)
                 row[f"av_sync_corr{suf}_shuf"] = cs
                 row[f"av_sync_corr{suf}_real_shuf"] = crs
+        # audio<->audio envelope timing (see env_corr0): own real audio is
+        # the positive, a different clip's real audio the cadence anchor
+        row["env_corr_gen"] = env_corr0(gen, real, sr)
         if other is not None:
+            row["env_corr_shuf"] = env_corr0(gen, real_wavs[other], sr)
+            row["env_corr_real_shuf"] = env_corr0(real, real_wavs[other], sr)
             row["logmel_l1_shuf"] = mel_l1(mels_real[other], mel_gen)
             # top-1 retrieval: does the generated audio sit closer (logmel
             # L1) to ITS OWN clip's real audio than to every other clip's?

@@ -50,6 +50,10 @@ for p in rows:
     print(f"step {p.stem.split('_')[1]:>6}: "
           f"mouth0_gap_gen={mg:+.3f} (t={mgt:+.1f}; real anchor {mr:+.3f})  "
           f"full0_gap_gen={fg:+.3f}  "
+          f"env_gap={d.get('gap_env', nan):+.3f} "
+          f"(t={d.get('gap_env_t', nan):+.1f}; "
+          f"corr {d.get('env_corr_gen', nan):+.3f} "
+          f"vs shuf-floor {d.get('env_corr_real_shuf', nan):+.3f})  "
           f"logmel={d['logmel_l1']:.3f} "
           f"(gap {d.get('gap_logmel', nan):+.3f}, t={d.get('gap_logmel_t', nan):+.1f})  "
           f"retrieval@1={d.get('retrieval_top1', nan):.2f}  "
