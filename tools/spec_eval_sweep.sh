@@ -32,9 +32,14 @@ for step in "${STEPS[@]}"; do
   ov="$OUT/.evalN_${step}.yaml"
   printf 'paths:\n  ckpt_path: "%s"\n' "$d" > "$ov"
   echo "[sweep] step $step (n=$N)"
+  # SPREAD=0 disables speaker-balanced sampling (default on: the tail slice
+  # of a speaker-ordered manifest silently covers a speaker subset, and both
+  # the sync-instrument ceiling and the model's specificity are strongly
+  # speaker-dependent — PERFORMANCE.md "Specificity v4")
+  EXTRA=(--spread); [ "${SPREAD:-1}" = 0 ] && EXTRA=()
   timeout 3600 python tools/eval_av_quality.py \
     --config configs/mvp.yaml "${CFGS[@]}" "$ov" \
-    --n "$N" --ema --seed 0 --out "$out" || echo "[sweep] step $step FAILED"
+    --n "$N" --ema --seed 0 "${EXTRA[@]}" --out "$out" || echo "[sweep] step $step FAILED"
 done
 python - "$OUT" <<'PY'
 import json, sys
