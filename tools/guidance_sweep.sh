@@ -25,9 +25,11 @@ for g in "${GS[@]}"; do
   printf 'paths:\n  ckpt_path: "%s"\nsampling:\n  guidance_scale:\n    video: %s\n    audio: %s\n' \
       "$d" "$g" "$g" > "$ov"
   echo "[gsweep] g=$g (n=$N, step $STEP)"
+  # speaker-balanced by default, like spec_eval_sweep.sh (SPREAD=0 opts out)
+  EXTRA=(--spread); [ "${SPREAD:-1}" = 0 ] && EXTRA=()
   timeout 3600 python tools/eval_av_quality.py \
     --config configs/mvp.yaml "${CFGS[@]}" "$ov" \
-    --n "$N" --ema --seed 0 --out "$out" || echo "[gsweep] g=$g FAILED"
+    --n "$N" --ema --seed 0 "${EXTRA[@]}" --out "$out" || echo "[gsweep] g=$g FAILED"
 done
 python - "$OUT" "$STEP" <<'PY'
 import json, sys
