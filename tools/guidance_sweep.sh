@@ -44,6 +44,8 @@ for p in rows:
     print(f"g={g:>4}: mouth0_gap_gen={d.get('gap_mouth0_gen', nan):+.3f} "
           f"(t={d.get('gap_mouth0_gen_t', nan):+.1f})  "
           f"full0_gap_gen={d.get('gap0_gen', nan):+.3f}  "
+          f"env_gap={d.get('gap_env', nan):+.3f} "
+          f"(t={d.get('gap_env_t', nan):+.1f})  "
           f"logmel={d['logmel_l1']:.3f} "
           f"(gap {d.get('gap_logmel', nan):+.3f})  "
           f"retrieval@1={d.get('retrieval_top1', nan):.2f}  "
