@@ -427,7 +427,13 @@ class AVDiffusionModel(nn.Module):
         H = self.core(X, deterministic=deterministic)
         Hv, Ha = H[:, :Nv, :], H[:, Nv : Nv + Na, :]
         eps = self.head({"video": Hv, "audio": Ha}, deterministic=deterministic)
-        return {"eps_v": eps["video"], "eps_a": eps["audio"], "h_v": Hv, "h_a": Ha}
+        out = {"eps_v": eps["video"], "eps_a": eps["audio"],
+               "h_v": Hv, "h_a": Ha}
+        if tok_m is not None:
+            # contextualized mouth tokens: 16 Hz-rate features for the
+            # fine-grained sync loss (training.sync_loss_source: mouth)
+            out["h_m"] = H[:, Nv + Na : Nv + Na + tok_m.shape[1], :]
+        return out
 
     def denoise_latents(
         self,

@@ -71,9 +71,10 @@ def alignment_loss(
 def sync_contrastive_loss(
     h_video: jnp.ndarray,  # [B, Nv, d] contextualized video tokens
     h_audio: jnp.ndarray,  # [B, Na, d] contextualized audio tokens
-    video_time_chunks: int,  # Tg: temporal extent of the video token grid
+    video_time_chunks: int,  # temporal extent of the video token grid
     weight: float = 0.0,
     tau: float = 0.1,
+    sample_weight: Optional[jnp.ndarray] = None,  # [B] per-sample gate
 ) -> jnp.ndarray:
     """Temporal InfoNCE between per-time video and audio features
     (config `training.sync_loss_weight`; default 0.0 = off).
@@ -88,8 +89,11 @@ def sync_contrastive_loss(
     the gradient shapes the representation the sampler actually uses.
 
     Both token streams are bucketed to a common temporal length T*
-    (video: spatial mean per time chunk; audio: proportional time
-    buckets), L2-normalized, and scored [B, T*, T*] within each clip.
+    (video: spatial mean per time chunk, then proportional time buckets;
+    audio: proportional time buckets), L2-normalized, and scored
+    [B, T*, T*] within each clip.  T* = min(video chunks, Na) — so a
+    16 Hz stream (training.sync_loss_source: mouth) is supervised at
+    ~80 ms granularity instead of the main video grid's ~375 ms.
     Audio bucket boundaries are PROPORTIONAL (token i -> bucket
     floor(i*Tg/Na)) rather than `Na // Tg`-sized: truncating the
     remainder would drop the tail tokens and time-compress the audio
@@ -106,24 +110,32 @@ def sync_contrastive_loss(
     """
     if weight <= 0.0:
         return jnp.asarray(0.0, jnp.float32)
-    B, Nv, d = h_video.shape
-    Na = h_audio.shape[1]
-    Tg = max(1, min(int(video_time_chunks), Nv, Na))
-    # video: [B, Tg, S, d] spatial mean -> [B, Tg, d]
-    S = Nv // Tg
-    v = jnp.mean(
-        h_video[:, : Tg * S, :].astype(jnp.float32).reshape(B, Tg, S, d),
-        axis=2)
-    # audio: proportional bucketing of ALL Na tokens into Tg positions
-    # (shapes are static at trace time, so the [Tg, Na] averaging matrix
-    # folds into the compiled program as a constant)
     import numpy as np
 
-    bucket = (np.arange(Na) * Tg) // Na          # token i -> bucket
-    M = np.zeros((Tg, Na), np.float32)
-    M[bucket, np.arange(Na)] = 1.0
-    M /= M.sum(axis=1, keepdims=True)
-    a = jnp.einsum("ts,bsd->btd", jnp.asarray(M),
+    B, Nv, d = h_video.shape
+    Na = h_audio.shape[1]
+    # video stream: tokens are TIME-MAJOR (time, spatial...) — group the
+    # true temporal extent first, spatial-mean within each time position
+    Tv = max(1, min(int(video_time_chunks), Nv))
+    S = Nv // Tv
+    v = jnp.mean(
+        h_video[:, : Tv * S, :].astype(jnp.float32).reshape(B, Tv, S, d),
+        axis=2)                                   # [B, Tv, d]
+    # common grid: proportional bucketing of BOTH streams to Tg positions
+    # (token i -> bucket floor(i*Tg/N); when N == Tg the matrix is the
+    # identity, so the historical Tv==Tg path is bit-identical).  Static
+    # shapes: the [Tg, N] averaging matrices fold into the compiled
+    # program as constants.
+    Tg = max(1, min(Tv, Na))
+
+    def bucket_matrix(n: int) -> np.ndarray:
+        bucket = (np.arange(n) * Tg) // n
+        M = np.zeros((Tg, n), np.float32)
+        M[bucket, np.arange(n)] = 1.0
+        return M / M.sum(axis=1, keepdims=True)
+
+    v = jnp.einsum("ts,bsd->btd", jnp.asarray(bucket_matrix(Tv)), v)
+    a = jnp.einsum("ts,bsd->btd", jnp.asarray(bucket_matrix(Na)),
                    h_audio.astype(jnp.float32))
     v = v / jnp.clip(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12, None)
     a = a / jnp.clip(jnp.linalg.norm(a, axis=-1, keepdims=True), 1e-12, None)
@@ -131,7 +143,16 @@ def sync_contrastive_loss(
     lse_va = jax.nn.logsumexp(logits, axis=2)  # v row vs all audio times
     lse_av = jax.nn.logsumexp(logits, axis=1)  # a col vs all video times
     pos = jnp.diagonal(logits, axis1=1, axis2=2)  # [B, Tg]
-    loss = jnp.mean(lse_va - pos) + jnp.mean(lse_av - pos)
+    per_sample = jnp.mean(lse_va - pos, axis=1) + jnp.mean(lse_av - pos,
+                                                           axis=1)  # [B]
+    if sample_weight is None:
+        loss = jnp.mean(per_sample)
+    else:
+        # per-sample gating (e.g. keep_m when syncing on the mouth stream:
+        # a CFG-dropped or target-side stream carries no timing — its
+        # InfoNCE term is pure gradient noise)
+        w = sample_weight.astype(jnp.float32)
+        loss = jnp.sum(per_sample * w) / jnp.clip(jnp.sum(w), 1e-6, None)
     return weight * 0.5 * loss
 
 

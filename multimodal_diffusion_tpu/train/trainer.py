@@ -194,6 +194,7 @@ def build_train_step(
     clean_cond_prob: float = 0.0,
     sync_weight: float = 0.0,
     sync_tau: float = 0.1,
+    sync_source: str = "video",
     ema_scope: str = "core",
 ):
     """Returns train_step(state, batch, target_is_video) -> (state, metrics).
@@ -272,12 +273,23 @@ def build_train_step(
             )
             loss_align = alignment_loss(out["h_v"], out["h_a"], weight=align_weight)
             # temporal sync supervision (training.sync_loss_weight): InfoNCE
-            # across time WITHIN each clip — the Tg video time chunks come
-            # from the static latent grid, so this traces once
-            loss_sync = sync_contrastive_loss(
-                out["h_v"], out["h_a"],
-                video_time_chunks=z_video_shape[2] // model.cfg.tube[0],
-                weight=sync_weight, tau=sync_tau)
+            # across time WITHIN each clip — time-chunk counts come from
+            # static grids, so this traces once.  sync_loss_source "mouth"
+            # supervises the 16 Hz mouth-token features (8x finer than the
+            # main video grid's ~375 ms chunks — word-level timing), gated
+            # per sample by keep_m (a dropped/target-side stream carries no
+            # timing); "video" is the main latent-grid stream (v4 behavior).
+            if sync_source == "mouth":
+                loss_sync = sync_contrastive_loss(
+                    out["h_m"], out["h_a"],
+                    video_time_chunks=(batch["video"].shape[2]
+                                       // model.cfg.mouth_tube[0]),
+                    weight=sync_weight, tau=sync_tau, sample_weight=keep_m)
+            else:
+                loss_sync = sync_contrastive_loss(
+                    out["h_v"], out["h_a"],
+                    video_time_chunks=z_video_shape[2] // model.cfg.tube[0],
+                    weight=sync_weight, tau=sync_tau)
             if recon_weight > 0.0:
                 loss_recon = reconstruction_loss(
                     out["recon_v"], batch["video"], out["recon_a"],
@@ -509,6 +521,17 @@ def create_trainer(
     if ema_scope not in ("core", "all"):
         raise ValueError(
             f"training.ema.scope must be core|all, got {ema_scope!r}")
+    sync_source = str(cfg["training"].get("sync_loss_source", "video"))
+    if sync_source not in ("video", "mouth"):
+        raise ValueError(
+            f"training.sync_loss_source must be video|mouth, got "
+            f"{sync_source!r}")
+    if (sync_source == "mouth"
+            and float(cfg["training"].get("sync_loss_weight", 0.0)) > 0.0
+            and not model.cfg.mouth_enabled):
+        raise ValueError(
+            "training.sync_loss_source: mouth requires "
+            "conditioning.mouth_crop.enabled: true")
     ema_src = params if ema_scope == "all" else params["core"]
     ema_shard = param_shardings if ema_scope == "all" else param_shardings["core"]
     # EMA shadow must carry the SAME committed shardings as the core params,
@@ -551,6 +574,7 @@ def create_trainer(
         clean_cond_prob=float(cfg["training"].get("clean_cond_prob", 0.0)),
         sync_weight=float(cfg["training"].get("sync_loss_weight", 0.0)),
         sync_tau=float(cfg["training"].get("sync_tau", 0.1)),
+        sync_source=sync_source,
         ema_scope=ema_scope,
     )
     train_step = jax.jit(step_fn, donate_argnums=(0,))

@@ -130,3 +130,75 @@ def test_trainer_reports_loss_sync():
     assert "loss_sync" in metrics
     assert np.isfinite(float(metrics["loss_sync"]))
     assert float(metrics["loss_sync"]) > 0.0
+
+
+def test_sample_weight_gates_per_sample():
+    """sample_weight excludes gated samples exactly: loss over [clip0 w=1,
+    clip1 w=0] equals the loss over clip0 alone (training.sync_loss_source:
+    mouth gates by keep_m — dropped streams carry no timing)."""
+    v, a = _timed_features(jax.random.PRNGKey(3), B=2)
+    both = sync_contrastive_loss(
+        v, a, video_time_chunks=8, weight=1.0,
+        sample_weight=jnp.asarray([1.0, 0.0]))
+    only0 = sync_contrastive_loss(v[:1], a[:1], video_time_chunks=8,
+                                  weight=1.0)
+    np.testing.assert_allclose(float(both), float(only0), rtol=1e-6)
+    # all-zero gate (whole batch dropped): loss is ~0, not NaN
+    none = sync_contrastive_loss(
+        v, a, video_time_chunks=8, weight=1.0,
+        sample_weight=jnp.zeros((2,)))
+    assert np.isfinite(float(none)) and abs(float(none)) < 1e-3
+
+
+def test_video_chunks_exceeding_audio_tokens_keep_time_order():
+    """When the video stream is FINER than the audio stream (the 16 Hz
+    mouth-token case: 48 video positions vs 37 audio tokens), the video
+    side must be bucketed proportionally in TIME — not regrouped by a
+    spatial-size-breaking reshape.  Alignment must survive the downsample."""
+    key = jax.random.PRNGKey(4)
+    B, T, d, S = 2, 16, 16, 3
+    base = jax.random.normal(key, (B, T, d))
+    v = jnp.repeat(base, S, axis=1)              # [B, 48, d] time-major
+    a = base[:, ::3, :] + 0.01 * jax.random.normal(
+        jax.random.fold_in(key, 1), (B, T // 3 + (1 if T % 3 else 0), d))
+    # Na=6 < Tv=16: both streams bucket to Tg=6
+    aligned = sync_contrastive_loss(v, a, video_time_chunks=T, weight=1.0)
+    shifted = sync_contrastive_loss(v, jnp.roll(a, 2, axis=1),
+                                    video_time_chunks=T, weight=1.0)
+    assert np.isfinite(float(aligned))
+    assert float(aligned) < float(shifted)
+
+
+@pytest.mark.slow
+def test_trainer_mouth_sync_source():
+    """training.sync_loss_source: mouth — the InfoNCE runs on the 16 Hz
+    mouth-token features, gated by keep_m; the step runs and reports a
+    finite loss_sync.  A bad source or mouth-less config fails loudly."""
+    import copy
+
+    from multimodal_diffusion_tpu.train.trainer import create_trainer
+
+    cfg = tiny_cfg()
+    cfg["conditioning"] = {"mouth_crop": {
+        "enabled": True, "box": [16, 32, 8, 24],
+        "tube": {"t": 1, "h": 4, "w": 4}}}
+    cfg["training"]["sync_loss_weight"] = 0.2
+    cfg["training"]["sync_loss_source"] = "mouth"
+    tr = create_trainer(cfg)
+    batch = {
+        "video": jnp.zeros((2, 3, 8, 32, 32), jnp.float32),
+        "audio": jnp.zeros((2, 1, 8000), jnp.float32),
+    }
+    state, metrics = tr.train_step(tr.state, batch, jnp.asarray(0.0))
+    assert np.isfinite(float(metrics["loss_sync"]))
+
+    cfg_bad = copy.deepcopy(cfg)
+    cfg_bad["training"]["sync_loss_source"] = "lips"
+    with pytest.raises(ValueError, match="sync_loss_source"):
+        create_trainer(cfg_bad)
+
+    cfg_nomouth = tiny_cfg()
+    cfg_nomouth["training"]["sync_loss_weight"] = 0.2
+    cfg_nomouth["training"]["sync_loss_source"] = "mouth"
+    with pytest.raises(ValueError, match="mouth_crop"):
+        create_trainer(cfg_nomouth)
