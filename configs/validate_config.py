@@ -118,6 +118,13 @@ CROSS_RULES = [
     (lambda c: not _get(c, "model.encoder_stopgrad")
      or float(_get(c, "training.recon_loss_weight") or 0.0) > 0.0,
      "model.encoder_stopgrad requires training.recon_loss_weight > 0"),
+    # the mouth-rate sync loss reads the mouth conditioning stream's
+    # contextualized tokens — without the stream there is nothing to sync
+    (lambda c: _get(c, "training.sync_loss_source") != "mouth"
+     or float(_get(c, "training.sync_loss_weight") or 0.0) == 0.0
+     or bool(_get(c, "conditioning.mouth_crop.enabled")),
+     "training.sync_loss_source: mouth requires "
+     "conditioning.mouth_crop.enabled: true"),
 ]
 
 
