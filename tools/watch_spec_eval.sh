@@ -43,9 +43,12 @@ d = json.load(open(sys.argv[1]))["mean"]
 sep = d["av_sync_corr_gen"] - d["av_sync_corr_shuf"]
 cs = d.get("cond_sensitivity_logmel")
 r1 = d.get("retrieval_top1")
+ge, gl = d.get("gap_env"), d.get("gap_logmel")
 print(f"[watch_spec_eval] {sys.argv[1]}: corr_gen={d['av_sync_corr_gen']:.3f} "
       f"corr_shuf={d['av_sync_corr_shuf']:.3f} sep={sep:+.3f} "
       f"logmel_l1={d['logmel_l1']:.3f}"
+      + (f" gap_logmel={gl:+.3f}" if gl is not None else "")
+      + (f" gap_env={ge:+.3f}" if ge is not None else "")
       + (f" cond_sens={cs:.3f}" if cs is not None else "")
       + (f" retrieval@1={r1:.2f}" if r1 is not None else ""))
 PY
