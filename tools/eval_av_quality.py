@@ -221,6 +221,19 @@ def main(argv=None):
 
     mels_real = [mel(w) for w in real_wavs]
 
+    # 10 ms RMS envelopes, precomputed once per real waveform (the timing
+    # retrieval below compares every generated clip to every real clip)
+    from multimodal_diffusion_tpu.eval.av_sync import audio_rms_envelope
+
+    def env100(w):
+        return audio_rms_envelope(np.asarray(w, np.float64), sr, 100.0)
+
+    envs_real = [env100(w) for w in real_wavs]
+
+    def env_corr_pre(ea, eb):
+        L = min(len(ea), len(eb))
+        return float(np.corrcoef(ea[:L], eb[:L])[0, 1]) if L >= 3 else 0.0
+
     rows = []
     rng = np.random.default_rng(args.seed)
     for j in range(n):
@@ -254,10 +267,17 @@ def main(argv=None):
                 row[f"av_sync_corr{suf}_real_shuf"] = crs
         # audio<->audio envelope timing (see env_corr0): own real audio is
         # the positive, a different clip's real audio the cadence anchor
-        row["env_corr_gen"] = env_corr0(gen, real, sr)
+        env_gen = env100(gen)
+        row["env_corr_gen"] = env_corr_pre(env_gen, envs_real[j])
         if other is not None:
-            row["env_corr_shuf"] = env_corr0(gen, real_wavs[other], sr)
-            row["env_corr_real_shuf"] = env_corr0(real, real_wavs[other], sr)
+            row["env_corr_shuf"] = env_corr_pre(env_gen, envs_real[other])
+            row["env_corr_real_shuf"] = env_corr_pre(envs_real[j],
+                                                     envs_real[other])
+            # timing retrieval: does the generated ENVELOPE match its own
+            # clip's real envelope better than every other clip's?
+            # chance = 1/n; the timing analog of retrieval_top1
+            ecs = [env_corr_pre(env_gen, envs_real[m]) for m in range(n)]
+            row["env_retrieval_top1"] = float(int(np.argmax(ecs)) == j)
             row["logmel_l1_shuf"] = mel_l1(mels_real[other], mel_gen)
             # top-1 retrieval: does the generated audio sit closer (logmel
             # L1) to ITS OWN clip's real audio than to every other clip's?

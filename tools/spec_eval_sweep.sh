@@ -61,6 +61,7 @@ for p in rows:
           f"vs shuf-floor {d.get('env_corr_real_shuf', nan):+.3f})  "
           f"logmel={d['logmel_l1']:.3f} "
           f"(gap {d.get('gap_logmel', nan):+.3f}, t={d.get('gap_logmel_t', nan):+.1f})  "
-          f"retrieval@1={d.get('retrieval_top1', nan):.2f}  "
+          f"retrieval@1={d.get('retrieval_top1', nan):.2f} "
+          f"(env {d.get('env_retrieval_top1', nan):.2f})  "
           f"cond_sens={d.get('cond_sensitivity_logmel', nan):.3f}")
 PY
