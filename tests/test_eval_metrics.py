@@ -263,3 +263,43 @@ def test_eval_report_emits_env_gap_keys():
     assert "gap_env" in rep and "gap_env_t" in rep
     exp = np.mean([r["env_corr_gen"] - r["env_corr_shuf"] for r in rows])
     assert abs(rep["gap_env"] - exp) < 1e-12
+
+
+def test_spec_breakdown_splits_by_speaker(tmp_path, capsys):
+    """tools/spec_breakdown.py: per-speaker paired-gap split via
+    _manifest_index against a synthetic manifest + eval JSON."""
+    import importlib.util
+    import json
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "spec_breakdown",
+        pathlib.Path(__file__).resolve().parents[1]
+        / "tools" / "spec_breakdown.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    clips = []
+    for spk in ("frames_val", "frames_s2"):
+        for i in range(3):
+            clips.append({"video_frames_dir":
+                          f"data/video/{spk}/vid{i}/clips/clip_0000"})
+    manifest = tmp_path / "m.json"
+    manifest.write_text(json.dumps({"clips": clips}))
+
+    rows = []
+    for i in range(6):
+        # speaker 1 (first 3 rows): strong positive env gap; speaker 2: zero
+        gap = 0.5 if i < 3 else 0.0
+        rows.append({"_manifest_index": i,
+                     "env_corr_gen": 0.2 + gap + 0.01 * i,
+                     "env_corr_shuf": 0.2,
+                     "logmel_l1": 2.0, "logmel_l1_shuf": 2.0})
+    ev = tmp_path / "e.json"
+    ev.write_text(json.dumps({"mean": {}, "per_clip": rows}))
+
+    mod.main([str(ev), "--manifest", str(manifest), "--keys", "gap_env"])
+    out = capsys.readouterr().out
+    lines = {ln.split()[0]: ln for ln in out.strip().splitlines()[1:]}
+    assert set(lines) == {"s1", "s2", "ALL"}
+    assert "+0.5" in lines["s1"] and "+0.0" in lines["s2"]
