@@ -16,7 +16,9 @@ Run: python bench.py [--batch 8] [--steps 50] [--repeats 3] [--direction v2a]
 from __future__ import annotations
 
 import argparse
+import atexit
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -25,6 +27,20 @@ import numpy as np
 
 REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
+
+
+def _claim_chip(tag: str) -> None:
+    """Ask any live training supervisor to yield the chip before this
+    process initializes the TPU backend (utils/chip_claim.py — closes the
+    BENCH_r03 failure where a supervised run held the chip and the driver's
+    bench died with FailedPrecondition).  No supervisor -> returns
+    immediately.  The claim auto-releases on process exit."""
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        return
+    from multimodal_diffusion_tpu.utils.chip_claim import acquire, release
+
+    acquire(tag=tag, log=lambda m: print(m, file=sys.stderr, flush=True))
+    atexit.register(release)
 
 
 def main(argv=None):
@@ -53,6 +69,8 @@ def main(argv=None):
                     help="t2i task only: reduced-precision MXU path for the "
                          "denoiser core's hot projections (ops/quant.py)")
     args = ap.parse_args(argv)
+    if not args.cpu:
+        _claim_chip(f"bench:{args.task}")
     if args.task == "t2i":
         return bench_t2i(args)
     if args.task == "train":

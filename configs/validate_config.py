@@ -112,6 +112,15 @@ CROSS_RULES = [
     (lambda c: int(_get(c, "parallel.context") or 1) <= 1
      or float(_get(c, "model.core.attn_dropout") or 0.0) == 0.0,
      "parallel.context > 1 requires model.core.attn_dropout == 0"),
+    # pipelined stages skip the lcm(seq_multiple, n_ctx) sequence padding
+    # (the stage ring carries no masks), so under pipe the context ring
+    # would silently fall back to dense attention — a perf/memory cliff,
+    # not a capability; reject the combination at config time
+    (lambda c: int(_get(c, "parallel.pipe") or 1) <= 1
+     or int(_get(c, "parallel.context") or 1) <= 1,
+     "parallel.pipe > 1 cannot be combined with parallel.context > 1 "
+     "(pipelined stages skip the CP sequence padding; the ring would "
+     "silently degrade to dense attention)"),
     # with the diffusion gradient stopped at the encoder outputs,
     # reconstruction is the encoders' ONLY training signal — without it
     # they would never train at all

@@ -7,8 +7,18 @@ JAX_PLATFORMS=axon (a remote-TPU tunnel), so the env var alone is latched
 before pytest starts — we must override through jax.config as well."""
 
 import os
+import tempfile
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+
+# Isolate chip arbitration (utils/chip_claim.py) from any LIVE supervised
+# training run on this host: without this, supervisor subprocesses spawned
+# by tests would write owner/ack files at the real default claim path and
+# could preempt a real campaign.  Env is inherited by test subprocesses.
+os.environ.setdefault(
+    "MMDIFF_CHIP_CLAIM",
+    os.path.join(tempfile.mkdtemp(prefix="mmdiff_test_claim_"), "chip.claim"),
+)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

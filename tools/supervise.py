@@ -45,6 +45,9 @@ import sys
 import time
 from pathlib import Path
 
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+from multimodal_diffusion_tpu.utils import chip_claim  # noqa: E402
+
 
 def _size(p: Path) -> int:
     try:
@@ -53,10 +56,24 @@ def _size(p: Path) -> int:
         return -1
 
 
+def _stop_child(proc, grace_s: float, log) -> int:
+    """SIGTERM -> clean checkpoint + exit (tests/test_preemption.py);
+    SIGKILL only after the grace window."""
+    proc.send_signal(signal.SIGTERM)
+    try:
+        proc.wait(timeout=grace_s)
+    except subprocess.TimeoutExpired:
+        log(f"[supervise] SIGKILL pid {proc.pid} after {grace_s:.0f}s grace")
+        proc.kill()
+        proc.wait()
+    return proc.returncode
+
+
 def run_once(cmd, progress: Path, startup_s: float, stall_s: float,
-             grace_s: float, log) -> tuple[int, bool, bool]:
-    """Run cmd until exit or stall.
-    Returns (returncode, stalled, made_progress)."""
+             grace_s: float, log, claim_file: Path = None,
+             ) -> tuple[int, bool, bool, bool]:
+    """Run cmd until exit, stall, or a chip claim.
+    Returns (returncode, stalled, made_progress, yielded)."""
     # clamp to 0: a missing file reads -1, and the transition missing -> empty
     # (the trainer creating metrics.jsonl before its long upload/compile
     # phase) must NOT count as first progress — that would swap the generous
@@ -75,7 +92,18 @@ def run_once(cmd, progress: Path, startup_s: float, stall_s: float,
                 # 5 s polls — that's a run failure, not a launch failure
                 if _size(progress) > base:
                     grew_once = True
-                return rc, False, grew_once
+                return rc, False, grew_once, False
+            if claim_file is not None:
+                cl = chip_claim.valid_claim(claim_file)
+                if cl is not None:
+                    log(f"[supervise] chip claim by pid {cl.get('pid')} "
+                        f"(tag={cl.get('tag')!r}); yielding — SIGTERM pid "
+                        f"{proc.pid} for clean checkpoint")
+                    rc = _stop_child(proc, grace_s, log)
+                    chip_claim.write_ack(cl["pid"], claim_file)
+                    log(f"[supervise] trainer exited rc={rc}; "
+                        f"ack written, chip is the claimer's")
+                    return rc, False, grew_once or _size(progress) > base, True
             now = time.time()
             size = _size(progress)
             if size > base:
@@ -88,15 +116,8 @@ def run_once(cmd, progress: Path, startup_s: float, stall_s: float,
                 log(f"[supervise] STALL ({phase}): no progress in "
                     f"{now - last_growth:.0f}s > {deadline:.0f}s; "
                     f"SIGTERM pid {proc.pid}")
-                proc.send_signal(signal.SIGTERM)
-                try:
-                    proc.wait(timeout=grace_s)
-                except subprocess.TimeoutExpired:
-                    log(f"[supervise] SIGKILL pid {proc.pid} after "
-                        f"{grace_s:.0f}s grace")
-                    proc.kill()
-                    proc.wait()
-                return proc.returncode, True, grew_once
+                _stop_child(proc, grace_s, log)
+                return proc.returncode, True, grew_once, False
             time.sleep(5.0)
     finally:
         if proc.poll() is None:  # supervisor itself interrupted
@@ -127,6 +148,16 @@ def main(argv=None):
                     help="no-progress exits faster than this repeating the "
                          "same rc are a deterministic bug (give up after 4), "
                          "not an outage; 0 disables the classifier")
+    ap.add_argument("--claim-file", type=Path,
+                    default=chip_claim.DEFAULT_CLAIM,
+                    help="chip-arbitration claim file (utils/chip_claim.py): "
+                         "a probe writing it makes this supervisor stop the "
+                         "trainer cleanly, ack, and resume when it clears; "
+                         "'none' disables yielding")
+    ap.add_argument("--max-yield-seconds", type=float, default=7200.0,
+                    help="reclaim the chip (delete a live claim) after this "
+                         "long yielded — backstop against a wedged claimer "
+                         "starving the training run")
     ap.add_argument("cmd", nargs=argparse.REMAINDER,
                     help="-- command to run")
     args = ap.parse_args(argv)
@@ -143,17 +174,62 @@ def main(argv=None):
     # default SIGTERM handling skips finally blocks)
     signal.signal(signal.SIGTERM, lambda *_: sys.exit(143))
 
+    claim_file = None if str(args.claim_file) == "none" else args.claim_file
+
+    def wait_for_claim_clear():
+        """Hold launches while a live claim exists (the claimer has the
+        chip); reclaim after --max-yield-seconds as a wedge backstop."""
+        t0 = time.time()
+        warned = False
+        while claim_file is not None:
+            cl = chip_claim.valid_claim(claim_file)
+            if cl is None:
+                return
+            if not warned:
+                log(f"[supervise] waiting for chip claim by pid "
+                    f"{cl.get('pid')} (tag={cl.get('tag')!r}) to clear")
+                warned = True
+            if time.time() - t0 > args.max_yield_seconds:
+                log(f"[supervise] RECLAIM: claim held > "
+                    f"{args.max_yield_seconds:.0f}s; deleting it")
+                try:
+                    claim_file.unlink()
+                except OSError:
+                    pass
+                return
+            time.sleep(5.0)
+
+    if claim_file is not None:
+        chip_claim.write_owner(claim_file)
+    try:
+        return _supervise_loop(args, cmd, claim_file, wait_for_claim_clear,
+                               log)
+    finally:
+        if claim_file is not None:
+            chip_claim.clear_owner(claim_file)
+
+
+def _supervise_loop(args, cmd, claim_file, wait_for_claim_clear, log):
     attempt = 0
     launch_fails = 0
-    fast_fails = 0      # consecutive identical-rc no-progress exits < 120 s
+    fast_fails = 0
     last_fast_rc = None
     rc = 1
     while attempt <= args.max_restarts:
+        wait_for_claim_clear()
         t_run = time.time()
-        rc, stalled, progressed = run_once(
+        rc, stalled, progressed, yielded = run_once(
             cmd, args.progress_file, args.startup_seconds,
-            args.stall_seconds, args.grace_seconds, log)
+            args.stall_seconds, args.grace_seconds, log,
+            claim_file=claim_file)
         runtime = time.time() - t_run
+        if yielded:
+            # a yield is not a failure: wait for the claimer to finish,
+            # then relaunch (--resume in cmd continues from the clean
+            # checkpoint) without consuming the restart budget
+            wait_for_claim_clear()
+            log("[supervise] claim cleared; resuming training")
+            continue
         if rc == 0 and not stalled:
             log("[supervise] child completed cleanly")
             return 0
