@@ -1,14 +1,22 @@
 #!/bin/bash
-# Milestone eval sweep for a finished specificity run — on the TPU (fast;
-# run ONLY when training has released the chip: two processes can't share
-# it).  Produces <run_dir>/evalN_<step>.json per milestone with the full
-# metric set (incl. retrieval_top1 and the cond-sensitivity probe).
+# Milestone eval sweep for a specificity run — on the TPU.  The script
+# CLAIMS the chip first (utils/chip_claim.py): a live supervised training
+# run checkpoints, yields, and resumes automatically when the sweep ends,
+# so it is safe to run mid-campaign.  Produces <run_dir>/evalN_<step>.json
+# per milestone with the full metric set (incl. retrieval_top1 and the
+# cond-sensitivity probe), and COMMITS each result to docs/<run>/ so a
+# host reset can never erase a campaign's evidence again (VERDICT r3 #3).
 #
 # Usage: tools/spec_eval_sweep.sh [run_dir] [n] [step ...] [-- overlay.yaml ...]
 #   defaults: runs/specificity3, n=16, every 25k milestone + 5k,
 #             overlays inferred from the run dir name
 #             (runs/specificityK -> configs/specificityK.yaml + its _eval).
 cd "$(dirname "$0")/.."
+if [ -z "${MMDIFF_CHIP_CLAIMED:-}" ]; then
+  export MMDIFF_CHIP_CLAIMED=1
+  exec python -m multimodal_diffusion_tpu.utils.chip_claim \
+      --tag spec-sweep -- bash "$0" "$@"
+fi
 OUT=${1:-runs/specificity3}
 N=${2:-16}
 shift 2 2>/dev/null || shift $# 2>/dev/null
@@ -40,6 +48,14 @@ for step in "${STEPS[@]}"; do
   timeout 3600 python tools/eval_av_quality.py \
     --config configs/mvp.yaml "${CFGS[@]}" "$ov" \
     --n "$N" --ema --seed 0 "${EXTRA[@]}" --out "$out" || echo "[sweep] step $step FAILED"
+  # durable evidence: runs/ does not survive host resets; docs/ is in git
+  if [ -f "$out" ]; then
+    dd="docs/$(basename "$OUT")"
+    mkdir -p "$dd" && cp "$out" "$dd/" \
+      && git add "$dd/$(basename "$out")" \
+      && git commit -q -m "$(basename "$OUT") milestone eval artifact: step $step (n=$N)" \
+      || echo "[sweep] WARNING: could not commit $out to $dd"
+  fi
 done
 python - "$OUT" <<'PY'
 import json, sys

@@ -1,8 +1,10 @@
 #!/bin/bash
 # Watch a specificity run's checkpoint dir for new steps; run a small
 # held-out specificity eval (CPU backend, n=8) per new checkpoint and store
-# <run_dir>/eval_<step>.json.  Cheap in-round evidence of
-# corr_gen - corr_shuf separation while a 100k-step run is in flight.
+# <run_dir>/eval_<step>.json — then COMMIT it to docs/<run>/ (a host reset
+# must never erase a campaign's results again, VERDICT r3 #3).  Cheap
+# in-round evidence of corr_gen - corr_shuf separation while a 100k-step
+# run is in flight.
 #
 # Usage: tools/watch_spec_eval.sh [run_dir] [overlay.yaml ...]
 #   defaults: runs/specificity3 with the v3 config + its eval overlay
@@ -52,6 +54,13 @@ print(f"[watch_spec_eval] {sys.argv[1]}: corr_gen={d['av_sync_corr_gen']:.3f} "
       + (f" cond_sens={cs:.3f}" if cs is not None else "")
       + (f" retrieval@1={r1:.2f}" if r1 is not None else ""))
 PY
+    if [ -f "$out" ]; then
+      dd="docs/$(basename "$OUT")"
+      mkdir -p "$dd" && cp "$out" "$dd/" \
+        && git add "$dd/$(basename "$out")" \
+        && git commit -q -m "$(basename "$OUT") watcher eval artifact: step $step" \
+        || echo "[watch_spec_eval] WARNING: could not commit $out"
+    fi
     rm -f "$out.running"
   done
   sleep 120
