@@ -66,7 +66,7 @@ def flops_mmdit_forward(n_tokens: int, d_model: int, n_layers: int,
                         mlp_ratio: float = 4.0) -> float:
     """Dense matmul FLOPs for one MMDiT forward pass of one sample.
 
-    Per layer: qkv (2*N*d*3d) + attn scores/值 (2*2*N^2*d) + out proj
+    Per layer: qkv (2*N*d*3d) + attn scores/values (2*2*N^2*d) + out proj
     (2*N*d*d) + mlp (2*2*N*d*(ratio*d)).
     """
     N, d = n_tokens, d_model

@@ -1,0 +1,52 @@
+#!/bin/bash
+# One-shot orchestration after the specificity7 run completes (round 4):
+# milestone sweep (n=16) + the PINNED-BAR eval (n=64, docs/SPEC_BAR.md) at
+# 100k, the flagship step decomposition, the quant measured table, bench
+# evidence on the quiet chip — then launch the capacity-only CONTROL run
+# (configs/specificity5.yaml: v7 minus training.sync_loss_source) under
+# the yield-capable supervisor for single-lever attribution.
+#
+# Usage: tools/post_v7.sh <supervisor_pid>
+set -u
+cd "$(dirname "$0")/.."
+SUP_PID=${1:?supervisor pid}
+
+echo "[post] waiting for supervisor $SUP_PID to exit"
+while kill -0 "$SUP_PID" 2>/dev/null; do sleep 20; done
+echo "[post] chip free at $(date -u +%H:%M:%S)"
+rm -rf runs/specificity7/checkpoints/*.orbax-checkpoint-tmp
+
+echo "[post] milestone sweep (n=16, speaker-balanced)"
+bash tools/spec_eval_sweep.sh runs/specificity7 16 25000 50000 75000
+
+echo "[post] pinned-bar eval at 100k (n=64, docs/SPEC_BAR.md)"
+bash tools/spec_eval_sweep.sh runs/specificity7 64 100000
+
+echo "[post] flagship step decomposition (VERDICT r3 #4)"
+python tools/step_decompose.py --out docs/step_decompose_v7.json \
+  2>/tmp/step_decompose.err | tail -40
+
+echo "[post] quant measured table (VERDICT r3 #6)"
+python -m multimodal_diffusion_tpu.utils.chip_claim --tag quant -- \
+  python tools/quant_probe.py --out docs/quant_probe_r4.json 2>/dev/null | tail -20
+
+echo "[post] t2i bench pair (bf16 vs int8) on the quiet chip"
+{ echo "t2i bf16:"; python bench.py --task t2i 2>/dev/null | tail -1
+  echo "t2i int8:"; python bench.py --task t2i --quant int8 2>/dev/null | tail -1
+  echo "av train step (v7 config):"
+  python bench.py --task train --config configs/mvp.yaml configs/specificity7.yaml 2>/dev/null | tail -1
+} | tee docs/bench_post_v7.txt
+
+git add docs/ && git commit -q -m "post-v7 artifacts: decomposition, quant table, bench pair" || true
+
+echo "[post] launching capacity-only control (specificity5 config)"
+mkdir -p runs/specificity5/logs
+nohup python tools/supervise.py \
+  --progress-file runs/specificity5/logs/metrics.jsonl \
+  --startup-seconds 10800 --stall-seconds 1800 --grace-seconds 600 \
+  --max-restarts 24 --backoff-seconds 60 -- \
+  python -m multimodal_diffusion_tpu.train.train_joint \
+    --config configs/mvp.yaml configs/specificity5.yaml configs/ckpt12500.yaml --resume \
+  > runs/specificity5/logs/supervise_r4.log 2>&1 &
+echo $! > /tmp/spec5.pid
+echo "[post] control supervisor pid $(cat /tmp/spec5.pid)"
