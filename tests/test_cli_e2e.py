@@ -13,6 +13,12 @@ from multimodal_diffusion_tpu.media.audio_io import read_wav, write_wav
 from tests._tiny import tiny_cfg
 
 
+# the three tests form one e2e chain (train -> sample v2a -> sample
+# a2v); each is >15 s and they share a trained checkpoint, so the
+# whole module is slow-tier
+pytestmark = pytest.mark.slow
+
+
 @pytest.fixture(scope="module")
 def workspace(tmp_path_factory):
     root = tmp_path_factory.mktemp("cli_e2e")

@@ -153,6 +153,7 @@ def test_context_parallel_seq_multiple_pads_to_ring(cp_mesh):
         np.asarray(out_cp), np.asarray(out_ref), atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_train_step_with_config_context_parallel():
     """parallel.context=2 on a (data=2, model=2, context=2) mesh: the FULL
     jitted train step (encode -> denoise -> loss -> grad -> AdamW -> EMA)

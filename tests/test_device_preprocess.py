@@ -56,6 +56,7 @@ def test_dataset_uint8_mode(tmp_path):
     np.testing.assert_allclose(v_f, v_u, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_train_step_accepts_uint8_video():
     """The same training math runs from uint8 input; loss matches the f32
     path bit-for-bit (same RNG stream)."""

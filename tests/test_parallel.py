@@ -86,6 +86,7 @@ def test_dp_grad_equivalence():
                                    rtol=2e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_graft_entry_single():
     """entry() must produce a jittable forward on the flagship model."""
     import sys
@@ -99,6 +100,7 @@ def test_graft_entry_single():
     assert np.isfinite(np.asarray(out_v, np.float32)).all()
 
 
+@pytest.mark.slow
 def test_graft_entry_multichip():
     import sys
     sys.path.insert(0, "/root/repo")

@@ -63,6 +63,7 @@ def test_pipeline_matches_sequential(pipe_mesh):
                                atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_pipeline_grad_matches_sequential(pipe_mesh):
     stage_fn, per_stage = _make_stages(4)
     stacked = stack_stage_params(per_stage)
@@ -152,6 +153,7 @@ def test_mmdit_pipeline_apply_masked_matches_core(pipe_mesh):
                                atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_mmdit_core_pipelined_path_carries_mask():
     """The config-integrated pipe path (MMDiT with a pipe mesh) accepts
     key-padding masks end-to-end and matches the unpipelined core."""

@@ -31,6 +31,7 @@ def test_pipe_mesh_from_config():
     assert dict(mesh.shape) == {"data": 2, "model": 1, "pipe": 2}
 
 
+@pytest.mark.slow
 def test_pipe_train_step_parity():
     """parallel.pipe: 2 runs the real jitted train step; loss matches the
     sequential core bit-for-bit-ish (same seeds, same batch)."""
@@ -72,6 +73,7 @@ def test_pipe_sampling_runs():
     assert out.shape == zs["z_audio"] and bool(jnp.all(jnp.isfinite(out)))
 
 
+@pytest.mark.slow
 def test_pipe_guards():
     from multimodal_diffusion_tpu.models.diffusion import AVDiffusionConfig
 

@@ -72,6 +72,7 @@ def test_mmdit_int8_inference_tracks_fp32():
     assert not np.allclose(np.asarray(out_q), np.asarray(out_ref))
 
 
+@pytest.mark.slow
 def test_mmdit_int8_training_pass_is_exactly_unquantized():
     """deterministic=False (the training configuration) must be the SAME
     program with and without quant: outputs and grads bitwise equal."""

@@ -98,6 +98,7 @@ def test_device_prefetch_order_and_errors():
         list(device_prefetch(range(10), boom, depth=2))
 
 
+@pytest.mark.slow
 def test_train_joint_cli_with_records(tmp_path):
     """train_joint consumes data.records_dir end-to-end (2 steps)."""
     import yaml
@@ -225,6 +226,7 @@ def test_device_resident_max_clips(tmp_path):
                                      max_clips=5))
 
 
+@pytest.mark.slow
 def test_train_joint_cli_device_resident(tmp_path):
     """train_joint with data.device_resident: resident gather feeds the
     jitted step end-to-end (2 steps + checkpoint)."""

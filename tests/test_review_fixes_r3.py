@@ -86,6 +86,7 @@ def test_scheduler_fairness_no_starvation():
         sched.shutdown()
 
 
+@pytest.mark.slow
 def test_pipe_quant_gated_off_in_training():
     """Pipelined core with model.core.quant=int8: a TRAINING pass
     (deterministic=False) must match the unquantized forward bit-for-bit

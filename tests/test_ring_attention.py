@@ -100,6 +100,7 @@ def test_ring_attention_flash_impl_matches_einsum(axis_size):
 
 @pytest.mark.parametrize("masked,axis_size", [(False, 2), (True, 2),
                                               (False, 4)])
+@pytest.mark.slow
 def test_ring_attention_flash_gradients_match_reference(masked, axis_size):
     """The flash ring is differentiable: its custom_vjp replays the K/V
     ring against the Pallas flash backward kernels with GLOBAL lse/delta

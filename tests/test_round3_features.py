@@ -16,6 +16,7 @@ from multimodal_diffusion_tpu.ops import schedule as S
 
 
 @pytest.mark.parametrize("variational", [False, True])
+@pytest.mark.slow
 def test_patch_vae_round_trip_shapes(variational):
     from multimodal_diffusion_tpu.models.vae_video3d import (
         VideoVAE, VideoVAEConfig)
@@ -155,6 +156,7 @@ def _mouth_cfg():
     return cfg
 
 
+@pytest.mark.slow
 def test_mouth_tokens_shapes_and_leak_gating():
     """keep_m=0 makes the forward independent of mouth pixels; keep_m=1
     makes the audio prediction depend on them."""
@@ -208,6 +210,7 @@ def test_mouth_tokens_shapes_and_leak_gating():
     assert np.isfinite(np.asarray(out_drop["eps_v"])).all()
 
 
+@pytest.mark.slow
 def test_mouth_train_and_sample_end_to_end():
     from multimodal_diffusion_tpu.infer.ddim import sampler_from_config
     from multimodal_diffusion_tpu.train.trainer import create_trainer
@@ -255,6 +258,7 @@ def test_mouth_train_and_sample_end_to_end():
     assert z_v.shape == zs["z_video"] and bool(jnp.all(jnp.isfinite(z_v)))
 
 
+@pytest.mark.slow
 def test_patch_vae_through_trainer():
     """video.arch: patch flows through config -> trainer -> jitted step."""
     cfg = copy.deepcopy(tiny_cfg())
@@ -276,6 +280,7 @@ def test_patch_vae_through_trainer():
     assert np.isfinite(float(m["loss"]))
 
 
+@pytest.mark.slow
 def test_recon_loss_trains_decoders():
     """training.recon_loss_weight > 0 gives the decoders real gradients
     (they are absent from the diffusion loss graph, reference semantics)."""
@@ -320,6 +325,7 @@ def test_recon_loss_trains_decoders():
 # ---------------------- clean-conditioning mixture ----------------------
 
 
+@pytest.mark.slow
 def test_clean_cond_prob_train_step():
     """training.clean_cond_prob forces the conditioning modality's t to 0
     for a fraction of samples (the sampling-time configuration); the train
@@ -356,6 +362,7 @@ def test_clean_cond_prob_train_step():
 # ---------------------- latent RMS normalization ----------------------
 
 
+@pytest.mark.slow
 def test_latent_rmsnorm_unit_scale_and_trains():
     """model.latent_rmsnorm forces per-sample rms(z)==1 for both encoders
     (the anti-collapse guard measured necessary on the 50k specificity
@@ -402,6 +409,7 @@ def test_latent_rmsnorm_unit_scale_and_trains():
 # ------------------------- encoder stop-gradient -------------------------
 
 
+@pytest.mark.slow
 def test_encoder_stopgrad_blocks_diffusion_grads():
     """model.encoder_stopgrad: the diffusion loss alone yields EXACTLY zero
     gradient in both autoencoders (their only trainer is then the recon

@@ -3,6 +3,8 @@ progress-file growth, SIGTERM it, restart, and propagate clean completion.
 Children are real subprocesses (the production signal path), simulated with
 tiny scripts — no TPU, no jax."""
 
+import pytest
+
 import subprocess
 import sys
 import textwrap
@@ -46,6 +48,7 @@ def test_clean_child_passes_through(tmp_path):
     assert "STALL" not in r.stdout
 
 
+@pytest.mark.slow
 def test_stalled_child_is_killed_and_restart_resumes(tmp_path):
     # first run: one progress line then hang; second run (state file
     # exists): finish cleanly — models --resume picking up the checkpoint
@@ -68,6 +71,7 @@ def test_stalled_child_is_killed_and_restart_resumes(tmp_path):
     assert "completed cleanly" in r.stdout
 
 
+@pytest.mark.slow
 def test_startup_stall_uses_startup_deadline(tmp_path):
     # never writes progress: startup deadline (3 s) must fire, not the
     # shorter stall deadline, and the supervisor gives up after retries
@@ -80,6 +84,7 @@ def test_startup_stall_uses_startup_deadline(tmp_path):
     assert "giving up" in r.stdout
 
 
+@pytest.mark.slow
 def test_crashing_child_is_restarted(tmp_path):
     r = _run(tmp_path, """
         import sys
@@ -97,6 +102,7 @@ def test_crashing_child_is_restarted(tmp_path):
     assert "completed cleanly" in r.stdout
 
 
+@pytest.mark.slow
 def test_launch_failures_have_own_budget(tmp_path):
     """A child that dies before its FIRST progress (backend unavailable)
     consumes the launch-failure budget — not the restart budget — and is
@@ -126,6 +132,7 @@ def test_launch_failures_have_own_budget(tmp_path):
     assert "giving up: 4 launch failures" in r.stdout
 
 
+@pytest.mark.slow
 def test_fast_identical_failures_are_a_bug_not_an_outage(tmp_path):
     """An instantly-crashing child (config typo) must surface after 4 tries
     instead of burning the multi-hour outage budget (review finding)."""
@@ -144,6 +151,7 @@ def test_fast_identical_failures_are_a_bug_not_an_outage(tmp_path):
     assert "launch failure 4/" not in r.stdout
 
 
+@pytest.mark.slow
 def test_stall_sigterm_clean_exit_restarts_not_completes(tmp_path):
     """The trainer's preempt path exits 0 on the supervisor's stall SIGTERM
     — that is a restart, not completion (review finding: the supervisor

@@ -76,6 +76,7 @@ def t2i():
     return model, params, images, ids
 
 
+@pytest.mark.slow
 def test_t2i_train_step_runs(t2i):
     from multimodal_diffusion_tpu.models.latent_text2image import (
         make_t2i_train_step,
@@ -93,6 +94,7 @@ def test_t2i_train_step_runs(t2i):
     assert np.isfinite(losses).all()
 
 
+@pytest.mark.slow
 def test_t2i_sample_with_negative_prompt(t2i):
     from multimodal_diffusion_tpu.models.latent_text2image import sample_images
 

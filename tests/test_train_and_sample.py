@@ -29,6 +29,7 @@ def make_batch(shapes, rng):
     }
 
 
+@pytest.mark.slow
 def test_smoke_train_loss_finite_and_decreasing(bundle):
     from multimodal_diffusion_tpu.train.trainer import run_training
 

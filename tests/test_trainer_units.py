@@ -98,6 +98,7 @@ def test_minimal_init_shapes_match_param_tree():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_run_training_logs_mfu():
     from multimodal_diffusion_tpu.train.trainer import (
         create_trainer, run_training,
@@ -124,6 +125,7 @@ def test_run_training_logs_mfu():
     assert logs[-1]["denoiser_mfu"] >= 0.0
 
 
+@pytest.mark.slow
 def test_ema_scope_all_shadows_full_tree():
     """training.ema.scope: 'all' shadows every module (EMA sampling then
     smooths heads/adapters/decoders too); the default 'core' keeps the
