@@ -66,8 +66,9 @@ def main(argv=None):
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (debug)")
     ap.add_argument("--quant", choices=["none", "int8"], default="none",
-                    help="t2i task only: reduced-precision MXU path for the "
-                         "denoiser core's hot projections (ops/quant.py)")
+                    help="av/t2i tasks: W8A8 int8 MXU path for the denoiser "
+                         "core's hot projections (ops/quant.py; inference "
+                         "passes only)")
     args = ap.parse_args(argv)
     if not args.cpu:
         _claim_chip(f"bench:{args.task}")
@@ -92,6 +93,10 @@ def main(argv=None):
     cfg = load_config(*(args.config or [REPO / "configs" / "mvp.yaml"]))
     cfg["diffusion"]["video"]["sampler_steps"] = args.steps
     cfg["diffusion"]["audio"]["sampler_steps"] = args.steps
+    if args.quant != "none":
+        # W8A8 on the core's hot projections (ops/quant.py) — deterministic
+        # (inference) passes only, so the sampling pipeline is the user
+        cfg.setdefault("model", {}).setdefault("core", {})["quant"] = args.quant
 
     dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
     model = AVDiffusionModel(AVDiffusionConfig.from_config(cfg, dtype=dtype))
@@ -189,7 +194,9 @@ def main(argv=None):
 
     print(json.dumps({
         "metric": f"{args.direction}_clips_per_sec_{args.steps}step_cfg_"
-                  f"b{B}_{jax.default_backend()}",
+                  f"b{B}"
+                  + (f"_{args.quant}" if args.quant != "none" else "")
+                  + f"_{jax.default_backend()}",
         "value": round(clips_per_sec, 4),
         "unit": "clips/sec/chip",
         "vs_baseline": round(vs_baseline, 2),

@@ -30,12 +30,24 @@ echo "[post] quant measured table (VERDICT r3 #6)"
 python -m multimodal_diffusion_tpu.utils.chip_claim --tag quant -- \
   python tools/quant_probe.py --out docs/quant_probe_r4.json 2>/dev/null | tail -20
 
-echo "[post] t2i bench pair (bf16 vs int8) on the quiet chip"
+echo "[post] bench pairs (bf16 vs int8) on the quiet chip"
 { echo "t2i bf16:"; python bench.py --task t2i 2>/dev/null | tail -1
   echo "t2i int8:"; python bench.py --task t2i --quant int8 2>/dev/null | tail -1
+  echo "av v2a bf16:"; python bench.py 2>/dev/null | tail -1
+  echo "av v2a int8:"; python bench.py --quant int8 2>/dev/null | tail -1
   echo "av train step (v7 config):"
   python bench.py --task train --config configs/mvp.yaml configs/specificity7.yaml 2>/dev/null | tail -1
 } | tee docs/bench_post_v7.txt
+
+echo "[post] int8 end-to-end AV quality delta at 100k (n=8 vs the bf16 eval)"
+ov8=runs/specificity7/.int8_100000.yaml
+printf 'paths:\n  ckpt_path: "runs/specificity7/checkpoints/100000"\n' > "$ov8"
+python -m multimodal_diffusion_tpu.utils.chip_claim --tag int8-eval -- \
+  python tools/eval_av_quality.py \
+    --config configs/mvp.yaml configs/specificity7.yaml configs/specificity7_eval.yaml configs/int8.yaml "$ov8" \
+    --n 8 --ema --seed 0 --spread --out docs/specificity7/eval_int8_100000.json \
+  2>/dev/null | tail -3
+git add docs/ && git commit -q -m "post-v7: int8 AV quality eval artifact" || true
 
 git add docs/ && git commit -q -m "post-v7 artifacts: decomposition, quant table, bench pair" || true
 
