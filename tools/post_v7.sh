@@ -16,6 +16,11 @@ while kill -0 "$SUP_PID" 2>/dev/null; do sleep 20; done
 echo "[post] chip free at $(date -u +%H:%M:%S)"
 rm -rf runs/specificity7/checkpoints/*.orbax-checkpoint-tmp
 
+mkdir -p docs/specificity7
+cp runs/specificity7/logs/metrics.jsonl docs/specificity7/metrics.jsonl
+git add docs/specificity7/metrics.jsonl \
+  && git commit -q -m "specificity7: training metrics through 100k (loss curves)" || true
+
 echo "[post] milestone sweep (n=16, speaker-balanced)"
 bash tools/spec_eval_sweep.sh runs/specificity7 16 25000 50000 75000
 
