@@ -57,6 +57,18 @@ def test_checkpoint_roundtrip_and_resume(bundle, tmp_path):
     from multimodal_diffusion_tpu.train.checkpoint import (
         CheckpointManager, params_only_tree, state_to_tree,
     )
+    from multimodal_diffusion_tpu.train.trainer import run_training
+
+    if int(bundle.state.step) == 0:
+        # the EMA-differs assertion below needs a state that has trained;
+        # don't depend on the (slow-tier) smoke test having run first
+        rng = np.random.default_rng(0)
+
+        def batches():
+            while True:
+                yield make_batch(bundle.latent_shapes, rng)
+
+        run_training(tiny_cfg(), bundle, batches(), max_steps=2)
 
     mgr = CheckpointManager(tmp_path / "ckpt")
     mgr.save(int(bundle.state.step), state_to_tree(bundle.state), wait=True)
