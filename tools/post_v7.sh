@@ -67,3 +67,10 @@ nohup python tools/supervise.py \
   > runs/specificity5/logs/supervise_r4.log 2>&1 &
 echo $! > /tmp/spec5.pid
 echo "[post] control supervisor pid $(cat /tmp/spec5.pid)"
+
+# in-flight CPU milestone evals (n=8), committed to docs/specificity5/
+nohup bash tools/watch_spec_eval.sh runs/specificity5 \
+  configs/specificity5.yaml configs/specificity5_eval.yaml \
+  > /tmp/watch_spec5.log 2>&1 &
+echo $! > /tmp/watch5.pid
+echo "[post] control watcher pid $(cat /tmp/watch5.pid)"
