@@ -56,6 +56,18 @@ git add docs/ && git commit -q -m "post-v7: int8 AV quality eval artifact" || tr
 
 git add docs/ && git commit -q -m "post-v7 artifacts: decomposition, quant table, bench pair" || true
 
+echo "[post] our side of the extended parity run (2000 steps, ~5 min device)"
+# the round-3 run was lost to the host reset; retrain at the identical
+# config and snapshot its loss curve to docs/ (VERDICT r3 #5 + #3)
+python -m multimodal_diffusion_tpu.utils.chip_claim --tag parity-ours -- \
+  python -m multimodal_diffusion_tpu.train.train_joint \
+    --config configs/parity_tiny.yaml configs/parity_tiny_ours2k.yaml \
+  > /tmp/parity_ours2k.log 2>&1 \
+  && { mkdir -p docs/parity_tiny_ours2k
+       cp runs/parity_tiny_ours2k/logs/metrics.jsonl docs/parity_tiny_ours2k/
+       git add docs/parity_tiny_ours2k && git commit -q -m "parity: ours-side 2000-step loss curve (post-reset rerun)" || true
+     } || echo "[post] WARNING: ours2k parity run failed (see /tmp/parity_ours2k.log)"
+
 echo "[post] launching capacity-only control (specificity5 config)"
 mkdir -p runs/specificity5/logs
 nohup python tools/supervise.py \
