@@ -85,18 +85,30 @@ def main(argv=None):
 
     def timed(fn, *fargs, sync_of=lambda o: o):
         """min-of-K seconds/call: 2 warmups, then `inner` sequential
-        dispatches + one sync per repeat (bench.py methodology)."""
+        dispatches + one sync per repeat (bench.py methodology).  Only the
+        LAST dispatch's output is referenced: holding all of them OOMs the
+        16 GB chip when the output is a full gradient tree (~1 GB x 20)."""
         sync(sync_of(fn(*fargs)))
         sync(sync_of(fn(*fargs)))
         ts = []
         for _ in range(args.repeats):
             t0 = time.perf_counter()
-            outs = [fn(*fargs) for _ in range(args.inner)]
-            sync(sync_of(outs[-1]))
+            o = None
+            for _ in range(args.inner):
+                o = fn(*fargs)
+            sync(sync_of(o))
             ts.append((time.perf_counter() - t0) / args.inner)
         return float(np.min(ts))
 
     results = {}
+
+    def flush():
+        # partial results survive a mid-probe OOM/backend error
+        if args.out:
+            args.out.parent.mkdir(parents=True, exist_ok=True)
+            args.out.write_text(json.dumps(
+                {"config": args.config, "batch": B, "results": results},
+                indent=2))
 
     # ---- calibration ceiling -------------------------------------------
     a = jnp.ones((4096, 4096), jnp.bfloat16)
@@ -117,8 +129,13 @@ def main(argv=None):
         sync(m["loss"])
         ts.append((time.perf_counter() - t0) / args.inner)
     results["train_step_ms"] = float(np.min(ts)) * 1e3
+    flush()
 
+    # free the optimizer + EMA shards (~2.3 GB at d=1024/16L) — the
+    # component probes only need params, and the grad probe below needs
+    # the headroom for its gradient tree
     params = state.params
+    del state, bundle
     var = {"params": params}
 
     # ---- component forwards --------------------------------------------
@@ -135,6 +152,7 @@ def main(argv=None):
     results["vae_decode_video_ms"] = timed(dec_v, z_v) * 1e3
     dec_a = jax.jit(lambda z: model.apply(var, z, method=model.decode_audio))
     results["codec_decode_audio_ms"] = timed(dec_a, z_a) * 1e3
+    flush()
 
     # ---- denoiser core: fwd and fwd+bwd --------------------------------
     t0_ = jnp.zeros((B,), jnp.int32)
@@ -156,6 +174,7 @@ def main(argv=None):
     results["denoiser_fwd_bwd_ms"] = timed(
         den_grad, params, z_v, z_a,
         sync_of=lambda g: jax.tree_util.tree_leaves(g)[0]) * 1e3
+    flush()
 
     # ---- optimizer + EMA cost by subtraction ---------------------------
     # full step = encoders + denoiser fwd+bwd (+ encoder bwd) + losses +
