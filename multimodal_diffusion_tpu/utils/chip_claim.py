@@ -114,7 +114,13 @@ def acquire(tag: str = "probe", claim: Path = DEFAULT_CLAIM, *,
     ack_timeout covers a clean checkpoint of the largest live run (~30 s
     observed for d=1024/16L + Adam + EMA through orbax) with a wide margin.
     Raises TimeoutError if the queue or the ack never clears.
+
+    No-op when $MMDIFF_CHIP_CLAIMED is set: an ancestor (the module CLI, a
+    claim-wrapped script) already holds the chip — a self-claiming tool run
+    under it must NOT queue behind its own wrapper's claim.
     """
+    if os.environ.get("MMDIFF_CHIP_CLAIMED"):
+        return
     me = os.getpid()
     deadline = time.time() + queue_timeout
     while True:
@@ -196,7 +202,8 @@ def main(argv=None):
     with chip_claim(args.tag, args.claim_file,
                     queue_timeout=args.queue_timeout,
                     ack_timeout=args.ack_timeout):
-        return subprocess.call(cmd)
+        env = dict(os.environ, MMDIFF_CHIP_CLAIMED="1")
+        return subprocess.call(cmd, env=env)
 
 
 if __name__ == "__main__":

@@ -88,6 +88,29 @@ def test_stale_claim_of_dead_pid_is_ignored_and_replaced(tmp_path):
     chip_claim.release(claim)
 
 
+def test_nested_acquire_under_wrapper_claim_is_noop(tmp_path, monkeypatch):
+    """A self-claiming tool run under `python -m ...chip_claim -- tool` must
+    not queue behind its own wrapper's claim (observed deadlock: the
+    wrapper's live claim is foreign by pid, so the child waited the full
+    queue_timeout).  The CLI exports MMDIFF_CHIP_CLAIMED to its children;
+    acquire() under that marker is a no-op."""
+    claim = tmp_path / "chip.claim"
+    holder = subprocess.Popen([sys.executable, "-c",
+                               "import time; time.sleep(30)"])
+    try:
+        claim.write_text(json.dumps({"pid": holder.pid, "tag": "wrapper",
+                                     "time": time.time()}))
+        monkeypatch.setenv("MMDIFF_CHIP_CLAIMED", "1")
+        t0 = time.time()
+        chip_claim.acquire("inner", claim, queue_timeout=5, poll=0.2)
+        assert time.time() - t0 < 1.0
+        # wrapper's claim untouched
+        assert chip_claim.valid_claim(claim)["tag"] == "wrapper"
+    finally:
+        holder.terminate()
+        holder.wait()
+
+
 def test_queue_times_out_behind_live_foreign_claim(tmp_path):
     claim = tmp_path / "chip.claim"
     holder = subprocess.Popen([sys.executable, "-c",

@@ -12,8 +12,8 @@
 #             overlays inferred from the run dir name
 #             (runs/specificityK -> configs/specificityK.yaml + its _eval).
 cd "$(dirname "$0")/.."
-if [ -z "${MMDIFF_CHIP_CLAIMED:-}" ]; then
-  export MMDIFF_CHIP_CLAIMED=1
+if [ -z "${MMDIFF_SWEEP_WRAPPED:-}" ]; then
+  export MMDIFF_SWEEP_WRAPPED=1
   exec python -m multimodal_diffusion_tpu.utils.chip_claim \
       --tag spec-sweep -- bash "$0" "$@"
 fi
