@@ -31,7 +31,9 @@ printf 'data:\n  train_split_glob: "data/GRID/clips_val.json"\n' > "$ov_val"
 for side in ref ours; do
   out="docs/parity/eval_${side}_${STEP}.json"
   [ -f "$out" ] && { echo "[parity] skip $side@$STEP (done)"; continue; }
-  ck="runs/ported/${STEP}"; [ "$side" = ours ] && ck="$OURS_CK"
+  # the port tool writes <out>/<step>/ (manager dir containing one step
+  # dir); the eval expects the STEP dir itself, as the sweep passes it
+  ck="runs/ported/${STEP}/${STEP}"; [ "$side" = ours ] && ck="$OURS_CK"
   ov=runs/ported/.ck_${side}_${STEP}.yaml
   printf 'paths:\n  ckpt_path: "%s"\n' "$ck" > "$ov"
   echo "[parity] eval $side @ $STEP (n=$N, cpu)"
