@@ -131,6 +131,57 @@ def main(argv=None):
     results["train_step_ms"] = float(np.min(ts)) * 1e3
     flush()
 
+    # ---- HBM bandwidth calibration + direct optimizer/EMA probe --------
+    # the residual is elementwise (AdamW m/v/p updates + EMA lerp) —
+    # HBM-bandwidth-bound, not MXU-bound; measure the chip's achievable
+    # stream bandwidth in the same minute and the ACTUAL AdamW+EMA cost
+    big = jnp.ones((256, 1024, 1024), jnp.float32)  # 1 GiB
+
+    @jax.jit
+    def saxpy(x):
+        return x * 1.000001 + 0.5
+
+    t = timed(saxpy, big)
+    results["hbm_saxpy_1gib_ms"] = t * 1e3
+    results["hbm_gbps"] = 2 * big.nbytes / t / 1e9  # read + write
+
+    import optax
+
+    tx = bundle.tx
+    grads = jax.tree_util.tree_map(jnp.ones_like, state.params)
+
+    @jax.jit
+    def opt_ema(params, opt_state, ema, grads):
+        updates, new_opt = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        new_ema = jax.tree_util.tree_map(
+            lambda e, p: e * 0.999 + p.astype(e.dtype) * 0.001,
+            ema, new_params if set(ema) == set(new_params)
+            else new_params["core"])
+        return new_params, new_opt, new_ema
+
+    o = opt_ema(state.params, state.opt_state, state.ema_core, grads)
+    sync(jax.tree_util.tree_leaves(o[0])[0])
+    ts = []
+    for _ in range(args.repeats):
+        t0 = time.perf_counter()
+        oo = None
+        for _ in range(args.inner):
+            oo = opt_ema(state.params, state.opt_state, state.ema_core,
+                         grads)
+        sync(jax.tree_util.tree_leaves(oo[0])[0])
+        ts.append((time.perf_counter() - t0) / args.inner)
+    results["opt_ema_ms"] = float(np.min(ts)) * 1e3
+    n_param_bytes = sum(x.nbytes for x in
+                        jax.tree_util.tree_leaves(state.params))
+    # AdamW traffic: read p,m,v,g + write p,m,v (7x); EMA: read e,p,
+    # write e (3x, p re-read pessimistically)
+    results["opt_ema_analytic_gb"] = 10 * n_param_bytes / 1e9
+    results["opt_ema_implied_gbps"] = (
+        results["opt_ema_analytic_gb"] / (results["opt_ema_ms"] / 1e3))
+    del grads, o, oo, big
+    flush()
+
     # free the optimizer + EMA shards (~2.3 GB at d=1024/16L) — the
     # component probes only need params, and the grad probe below needs
     # the headroom for its gradient tree
