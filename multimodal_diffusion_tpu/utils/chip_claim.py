@@ -118,47 +118,64 @@ def acquire(tag: str = "probe", claim: Path = DEFAULT_CLAIM, *,
     No-op when $MMDIFF_CHIP_CLAIMED is set: an ancestor (the module CLI, a
     claim-wrapped script) already holds the chip — a self-claiming tool run
     under it must NOT queue behind its own wrapper's claim.
+
+    Ack timeout FAILS OPEN: after the deadline, return instead of raising,
+    and let the caller attempt backend init.  If the supervisor's trainer
+    really still holds the TPU the init fails loudly (FailedPrecondition);
+    if it is a protocol hiccup (BENCH_r04: an ack-routing race while the
+    chip sat free for 900 s) the measurement still lands.  A measurement
+    tool whose failure mode is 'give up while the resource is free' was
+    the wrong default (VERDICT r4 weak #2).
     """
     if os.environ.get("MMDIFF_CHIP_CLAIMED"):
         return
     me = os.getpid()
-    deadline = time.time() + queue_timeout
-    while True:
-        cur = valid_claim(claim)
-        if cur is None or cur.get("pid") == me:
-            break
-        if time.time() > deadline:
-            raise TimeoutError(
-                f"chip claim held by pid {cur.get('pid')} "
-                f"(tag={cur.get('tag')!r}) for > {queue_timeout:.0f}s")
-        time.sleep(poll)
-    t_claim = time.time()
-    _write_json_atomic(claim, {"pid": me, "tag": tag, "time": t_claim})
-    owner = owner_alive(claim)
-    if owner is None:
-        return  # nobody to yield; chip presumed free
-    log(f"[chip_claim] claim written (tag={tag}); waiting for supervisor "
-        f"pid {owner['pid']} to yield the chip")
+    queue_deadline = time.time() + queue_timeout
     ack_p = claim.with_name(claim.name + ".ack")
-    deadline = time.time() + ack_timeout
-    while True:
-        mine = _read_json(claim)
-        if not mine or mine.get("pid") != me:
-            # lost a (rare) write race with a concurrent claimer: re-queue
-            return acquire(tag, claim, queue_timeout=queue_timeout,
-                           ack_timeout=ack_timeout, poll=poll, log=log)
-        ack = _read_json(ack_p)
-        if ack and ack.get("claim_pid") == me and ack["time"] >= t_claim:
-            log("[chip_claim] supervisor yielded; chip is free")
+    while True:  # one iteration per claim attempt (re-entered on lost race)
+        while True:  # queue behind any live foreign claim
+            cur = valid_claim(claim)
+            if cur is None or cur.get("pid") == me:
+                break
+            if time.time() > queue_deadline:
+                raise TimeoutError(
+                    f"chip claim held by pid {cur.get('pid')} "
+                    f"(tag={cur.get('tag')!r}) for > {queue_timeout:.0f}s")
+            time.sleep(poll)
+        t_claim = time.time()
+        _write_json_atomic(claim, {"pid": me, "tag": tag, "time": t_claim})
+        owner = owner_alive(claim)
+        if owner is None:
+            return  # nobody to yield; chip presumed free
+        log(f"[chip_claim] claim written (tag={tag}); waiting for "
+            f"supervisor pid {owner['pid']} to yield the chip")
+        ack_deadline = time.time() + ack_timeout
+        lost_race = False
+        while True:
+            mine = _read_json(claim)
+            if not mine or mine.get("pid") != me:
+                # lost a (rare) write race with a concurrent claimer:
+                # re-queue under the ORIGINAL queue deadline (the old
+                # recursive retry reset both deadlines, making the total
+                # wait unbounded under claim churn — ADVICE r4 #5)
+                lost_race = True
+                break
+            ack = _read_json(ack_p)
+            if ack and ack.get("claim_pid") == me and ack["time"] >= t_claim:
+                log("[chip_claim] supervisor yielded; chip is free")
+                return
+            if owner_alive(claim) is None:
+                log("[chip_claim] supervisor exited; chip presumed free")
+                return
+            if time.time() > ack_deadline:
+                log(f"[chip_claim] supervisor pid {owner['pid']} did not "
+                    f"ack within {ack_timeout:.0f}s; FAILING OPEN — "
+                    f"attempting backend init anyway (if the chip is truly "
+                    f"busy, init will fail loudly)")
+                return
+            time.sleep(poll)
+        if not lost_race:  # pragma: no cover — loop exits via return above
             return
-        if owner_alive(claim) is None:
-            log("[chip_claim] supervisor exited; chip presumed free")
-            return
-        if time.time() > deadline:
-            raise TimeoutError(
-                f"supervisor pid {owner['pid']} did not yield within "
-                f"{ack_timeout:.0f}s")
-        time.sleep(poll)
 
 
 def release(claim: Path = DEFAULT_CLAIM) -> None:

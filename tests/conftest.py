@@ -6,7 +6,9 @@ NOTE: this environment pre-imports jax via sitecustomize with
 JAX_PLATFORMS=axon (a remote-TPU tunnel), so the env var alone is latched
 before pytest starts — we must override through jax.config as well."""
 
+import atexit
 import os
+import shutil
 import tempfile
 
 os.environ["JAX_PLATFORMS"] = "cpu"
@@ -15,10 +17,10 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 # training run on this host: without this, supervisor subprocesses spawned
 # by tests would write owner/ack files at the real default claim path and
 # could preempt a real campaign.  Env is inherited by test subprocesses.
-os.environ.setdefault(
-    "MMDIFF_CHIP_CLAIM",
-    os.path.join(tempfile.mkdtemp(prefix="mmdiff_test_claim_"), "chip.claim"),
-)
+if "MMDIFF_CHIP_CLAIM" not in os.environ:
+    _claim_dir = tempfile.mkdtemp(prefix="mmdiff_test_claim_")
+    atexit.register(shutil.rmtree, _claim_dir, ignore_errors=True)
+    os.environ["MMDIFF_CHIP_CLAIM"] = os.path.join(_claim_dir, "chip.claim")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

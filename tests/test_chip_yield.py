@@ -125,6 +125,222 @@ def test_queue_times_out_behind_live_foreign_claim(tmp_path):
         holder.wait()
 
 
+def test_acquire_fails_open_on_ack_timeout(tmp_path):
+    """VERDICT r4 weak #2: a live owner that never acks must not make the
+    probe give up while the chip may be free — after ack_timeout, acquire
+    returns (fail open) and lets backend init succeed or fail loudly."""
+    claim = tmp_path / "chip.claim"
+    owner = subprocess.Popen([sys.executable, "-c",
+                              "import time; time.sleep(30)"])
+    try:
+        (tmp_path / "chip.claim.owner").write_text(
+            json.dumps({"pid": owner.pid, "time": time.time()}))
+        msgs = []
+        t0 = time.time()
+        chip_claim.acquire("probe", claim, ack_timeout=1.0, poll=0.2,
+                           log=msgs.append)  # must NOT raise
+        assert time.time() - t0 < 5.0
+        assert any("FAILING OPEN" in m for m in msgs), msgs
+    finally:
+        owner.terminate()
+        owner.wait()
+
+
+SLOW_EXIT_TRAINER = textwrap.dedent("""
+    import os, signal, sys, time
+    from pathlib import Path
+    d = Path(sys.argv[1])
+    (d / "trainer.pid").write_text(str(os.getpid()))
+    stop = []
+    def _term(*a):
+        (d / "sigterm.marker").write_text("got it")
+        stop.append(1)
+    signal.signal(signal.SIGTERM, _term)
+    i = 0
+    while not stop:
+        (d / "metrics.jsonl").open("a").write('{"step": %d}\\n' % i)
+        i += 1
+        time.sleep(0.1)
+    time.sleep(4.0)  # a real checkpoint takes a while (grace window)
+    (d / "ckpt.marker").open("a").write("ckpt\\n")
+    sys.exit(0)
+""")
+
+
+@pytest.mark.slow
+def test_ack_follows_claimant_turnover_mid_yield(tmp_path):
+    """The BENCH_r04 race: probe A claims, the supervisor starts yielding
+    (SIGTERM + slow checkpoint), A dies during the grace window, probe B
+    claims — the ack must name B (the claim's CURRENT holder), not the pid
+    captured before the SIGTERM, and B must unblock promptly."""
+    claim = tmp_path / "chip.claim"
+    child = tmp_path / "trainer.py"
+    child.write_text(SLOW_EXIT_TRAINER)
+    progress = tmp_path / "metrics.jsonl"
+    sup = subprocess.Popen(
+        [sys.executable, str(SUPERVISE),
+         "--progress-file", str(progress),
+         "--claim-file", str(claim),
+         "--startup-seconds", "60", "--stall-seconds", "60",
+         "--grace-seconds", "20", "--poll-seconds", "0.5",
+         "--max-restarts", "5", "--backoff-seconds", "0.2",
+         "--", sys.executable, str(child), str(tmp_path)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+    probe_a = subprocess.Popen([sys.executable, "-c",
+                                "import time; time.sleep(60)"])
+    try:
+        _wait(lambda: progress.exists() and progress.stat().st_size > 0,
+              90, "first trainer progress")
+        # probe A claims; supervisor begins the yield (SIGTERM)
+        claim.write_text(json.dumps({"pid": probe_a.pid, "tag": "probe-a",
+                                     "time": time.time()}))
+        _wait(lambda: (tmp_path / "sigterm.marker").exists(), 30,
+              "supervisor to SIGTERM the trainer")
+        # A dies mid-yield (the driver's entry() probe exiting), B claims
+        probe_a.kill()
+        probe_a.wait()
+        t0 = time.time()
+        chip_claim.acquire("probe-b", claim, ack_timeout=30, poll=0.2)
+        elapsed = time.time() - t0
+        # B must be acked once the trainer exits (~4 s checkpoint), far
+        # inside its ack window — NOT starve behind an ack naming dead A
+        assert elapsed < 20, f"probe B waited {elapsed:.1f}s for its ack"
+        ack = json.loads((tmp_path / "chip.claim.ack").read_text())
+        assert ack["claim_pid"] == os.getpid(), ack
+    finally:
+        if probe_a.poll() is None:
+            probe_a.kill()
+            probe_a.wait()
+        chip_claim.release(claim)
+        sup.send_signal(signal.SIGTERM)
+        try:
+            sup.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            sup.kill()
+            sup.wait()
+
+
+@pytest.mark.slow
+def test_claim_while_supervisor_between_runs_gets_acked(tmp_path):
+    """ADVICE r4 #1: a probe claiming while the supervisor is in its
+    claim-clear wait (trainer down, chip free) must get an ack within one
+    poll — the old loop only waited and the probe starved 900 s."""
+    claim = tmp_path / "chip.claim"
+    child = tmp_path / "trainer.py"
+    child.write_text(FAKE_TRAINER)
+    progress = tmp_path / "metrics.jsonl"
+    holder = subprocess.Popen([sys.executable, "-c",
+                               "import time; time.sleep(60)"])
+    # claim exists BEFORE the supervisor starts: first launch must be held
+    claim.write_text(json.dumps({"pid": holder.pid, "tag": "early",
+                                 "time": time.time()}))
+    sup = subprocess.Popen(
+        [sys.executable, str(SUPERVISE),
+         "--progress-file", str(progress),
+         "--claim-file", str(claim),
+         "--startup-seconds", "60", "--stall-seconds", "60",
+         "--grace-seconds", "15", "--poll-seconds", "0.5",
+         "--max-restarts", "5", "--backoff-seconds", "0.2",
+         "--", sys.executable, str(child), str(tmp_path)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+    try:
+        ack_p = tmp_path / "chip.claim.ack"
+        _wait(lambda: ack_p.exists(), 60, "ack for the pre-existing claim")
+        assert json.loads(ack_p.read_text())["claim_pid"] == holder.pid
+        assert not (tmp_path / "trainer.pid").exists(), \
+            "trainer launched while the claim was held"
+        # release -> trainer launches and progresses
+        claim.unlink()
+        _wait(lambda: progress.exists() and progress.stat().st_size > 0,
+              90, "training start after claim cleared")
+    finally:
+        holder.terminate()
+        holder.wait()
+        sup.send_signal(signal.SIGTERM)
+        try:
+            sup.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            sup.kill()
+            sup.wait()
+
+
+BUSY_AWARE_TRAINER = textwrap.dedent("""
+    import os, signal, sys, time
+    from pathlib import Path
+    d = Path(sys.argv[1])
+    if (d / "busy").exists():
+        sys.exit(3)  # FailedPrecondition stand-in: chip held elsewhere
+    (d / "trainer.pid").write_text(str(os.getpid()))
+    stop = []
+    signal.signal(signal.SIGTERM, lambda *a: stop.append(1))
+    i = 0
+    while not stop:
+        (d / "metrics.jsonl").open("a").write('{"step": %d}\\n' % i)
+        i += 1
+        time.sleep(0.1)
+    (d / "ckpt.marker").open("a").write("ckpt\\n")
+    sys.exit(0)
+""")
+
+
+@pytest.mark.slow
+def test_reclaim_busy_failures_do_not_consume_giveup_budget(tmp_path):
+    """ADVICE r4 #2: after a --max-yield-seconds reclaim the claimer may
+    still hold the TPU; the relaunched trainer then fast-fails.  Those
+    failures must be classified 'chip still busy' and retried, not spend
+    the 4-strike fast-fail budget (which silently killed a campaign)."""
+    claim = tmp_path / "chip.claim"
+    child = tmp_path / "trainer.py"
+    child.write_text(BUSY_AWARE_TRAINER)
+    progress = tmp_path / "metrics.jsonl"
+    sup = subprocess.Popen(
+        [sys.executable, str(SUPERVISE),
+         "--progress-file", str(progress),
+         "--claim-file", str(claim),
+         "--startup-seconds", "60", "--stall-seconds", "60",
+         "--grace-seconds", "15", "--poll-seconds", "0.3",
+         "--max-restarts", "5", "--backoff-seconds", "0.2",
+         "--outage-backoff-seconds", "0.3",
+         "--max-yield-seconds", "2",
+         "--", sys.executable, str(child), str(tmp_path)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+    holder = subprocess.Popen([sys.executable, "-c",
+                               "import time; time.sleep(120)"])
+    try:
+        _wait(lambda: progress.exists() and progress.stat().st_size > 0,
+              90, "first trainer progress")
+        # claimer arrives and then WEDGES (holds the chip past the yield
+        # backstop); simulate the held chip for relaunches via the flag file
+        (tmp_path / "busy").write_text("1")
+        claim.write_text(json.dumps({"pid": holder.pid, "tag": "wedged",
+                                     "time": time.time()}))
+        _wait(lambda: (tmp_path / "ckpt.marker").exists(), 30,
+              "yield checkpoint")
+        # reclaim fires after 2 s; >=5 fast rc=3 launch failures follow —
+        # enough that the old classifier would have given up (4 strikes)
+        _wait(lambda: not claim.exists(), 30, "reclaim to delete the claim")
+        deadline = time.time() + 25
+        while time.time() < deadline:
+            assert sup.poll() is None, (
+                "supervisor gave up on chip-busy failures after reclaim:\n"
+                + sup.stdout.read())
+            time.sleep(1.0)
+        # chip frees up -> training resumes
+        (tmp_path / "busy").unlink()
+        size = progress.stat().st_size
+        _wait(lambda: progress.stat().st_size > size, 40,
+              "training to resume once the chip freed")
+    finally:
+        holder.terminate()
+        holder.wait()
+        sup.send_signal(signal.SIGTERM)
+        try:
+            sup.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            sup.kill()
+            sup.wait()
+
+
 @pytest.mark.slow
 def test_supervisor_yields_to_claim_and_resumes(tmp_path):
     claim = tmp_path / "chip.claim"
@@ -144,7 +360,7 @@ def test_supervisor_yields_to_claim_and_resumes(tmp_path):
         # supervisor advertises itself and the trainer makes progress
         _wait(lambda: chip_claim.owner_alive(claim), 30, "owner file")
         _wait(lambda: progress.exists() and progress.stat().st_size > 0,
-              30, "first trainer progress")
+              90, "first trainer progress")
         pid1 = int((tmp_path / "trainer.pid").read_text())
 
         # a probe claims the chip: supervisor must stop the trainer

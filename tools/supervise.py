@@ -71,7 +71,7 @@ def _stop_child(proc, grace_s: float, log) -> int:
 
 def run_once(cmd, progress: Path, startup_s: float, stall_s: float,
              grace_s: float, log, claim_file: Path = None,
-             ) -> tuple[int, bool, bool, bool]:
+             poll_s: float = 5.0) -> tuple[int, bool, bool, bool]:
     """Run cmd until exit, stall, or a chip claim.
     Returns (returncode, stalled, made_progress, yielded)."""
     # clamp to 0: a missing file reads -1, and the transition missing -> empty
@@ -100,9 +100,17 @@ def run_once(cmd, progress: Path, startup_s: float, stall_s: float,
                         f"(tag={cl.get('tag')!r}); yielding — SIGTERM pid "
                         f"{proc.pid} for clean checkpoint")
                     rc = _stop_child(proc, grace_s, log)
-                    chip_claim.write_ack(cl["pid"], claim_file)
+                    # ack whoever holds the claim NOW, not the pid captured
+                    # before the SIGTERM: the grace window is minutes long,
+                    # and in BENCH_r04 the original claimer (driver entry
+                    # probe) died during it while bench.py wrote a fresh
+                    # claim — acking the dead pid starved the live claimer
+                    # for its full ack_timeout while the chip sat free.
+                    now_cl = chip_claim.valid_claim(claim_file) or cl
+                    chip_claim.write_ack(now_cl["pid"], claim_file)
                     log(f"[supervise] trainer exited rc={rc}; "
-                        f"ack written, chip is the claimer's")
+                        f"ack written for pid {now_cl['pid']}, "
+                        f"chip is the claimer's")
                     return rc, False, grew_once or _size(progress) > base, True
             now = time.time()
             size = _size(progress)
@@ -118,7 +126,7 @@ def run_once(cmd, progress: Path, startup_s: float, stall_s: float,
                     f"SIGTERM pid {proc.pid}")
                 _stop_child(proc, grace_s, log)
                 return proc.returncode, True, grew_once, False
-            time.sleep(5.0)
+            time.sleep(poll_s)
     finally:
         if proc.poll() is None:  # supervisor itself interrupted
             proc.send_signal(signal.SIGTERM)
@@ -154,6 +162,8 @@ def main(argv=None):
                          "a probe writing it makes this supervisor stop the "
                          "trainer cleanly, ack, and resume when it clears; "
                          "'none' disables yielding")
+    ap.add_argument("--poll-seconds", type=float, default=5.0,
+                    help="watch-loop poll interval (tests shrink it)")
     ap.add_argument("--max-yield-seconds", type=float, default=7200.0,
                     help="reclaim the chip (delete a live claim) after this "
                          "long yielded — backstop against a wedged claimer "
@@ -178,13 +188,30 @@ def main(argv=None):
 
     def wait_for_claim_clear():
         """Hold launches while a live claim exists (the claimer has the
-        chip); reclaim after --max-yield-seconds as a wedge backstop."""
+        chip); reclaim after --max-yield-seconds as a wedge backstop.
+        Returns True iff a reclaim was performed (callers must then treat
+        fast relaunch failures as 'chip still busy', not a code bug).
+
+        While in this loop the trainer is BY DEFINITION down, so the chip
+        is free: every live claim must be ACKED here, within one poll.
+        Round 4's headline bench died exactly because this loop only
+        waited — bench.py's claim (written after the previous claimer died
+        mid-yield) never got an ack while the supervisor sat 'waiting for
+        claim to clear' on it (runs/specificity5/logs/supervise_r4b.log).
+        """
         t0 = time.time()
         warned = False
+        acked = None  # (pid, claim_time) last acked
         while claim_file is not None:
             cl = chip_claim.valid_claim(claim_file)
             if cl is None:
-                return
+                return False
+            key = (cl.get("pid"), cl.get("time"))
+            if key != acked:
+                chip_claim.write_ack(cl["pid"], claim_file)
+                acked = key
+                log(f"[supervise] acked claim by pid {cl.get('pid')} "
+                    f"(tag={cl.get('tag')!r}) — trainer is down, chip free")
             if not warned:
                 log(f"[supervise] waiting for chip claim by pid "
                     f"{cl.get('pid')} (tag={cl.get('tag')!r}) to clear")
@@ -196,8 +223,9 @@ def main(argv=None):
                     claim_file.unlink()
                 except OSError:
                     pass
-                return
-            time.sleep(5.0)
+                return True
+            time.sleep(args.poll_seconds)
+        return False
 
     if claim_file is not None:
         chip_claim.write_owner(claim_file)
@@ -214,20 +242,25 @@ def _supervise_loop(args, cmd, claim_file, wait_for_claim_clear, log):
     launch_fails = 0
     fast_fails = 0
     last_fast_rc = None
+    reclaim_grace = False  # True after a reclaim until a launch progresses
+    reclaim_busy = 0
     rc = 1
     while attempt <= args.max_restarts:
-        wait_for_claim_clear()
+        reclaim_grace = wait_for_claim_clear() or reclaim_grace
         t_run = time.time()
         rc, stalled, progressed, yielded = run_once(
             cmd, args.progress_file, args.startup_seconds,
             args.stall_seconds, args.grace_seconds, log,
-            claim_file=claim_file)
+            claim_file=claim_file, poll_s=args.poll_seconds)
         runtime = time.time() - t_run
+        if progressed:
+            reclaim_grace = False
+            reclaim_busy = 0
         if yielded:
             # a yield is not a failure: wait for the claimer to finish,
             # then relaunch (--resume in cmd continues from the clean
             # checkpoint) without consuming the restart budget
-            wait_for_claim_clear()
+            reclaim_grace = wait_for_claim_clear() or reclaim_grace
             log("[supervise] claim cleared; resuming training")
             continue
         if rc == 0 and not stalled:
@@ -255,6 +288,22 @@ def _supervise_loop(args, cmd, claim_file, wait_for_claim_clear, log):
             # (upload/compile then backend error) keep the outage budget:
             # that's the tunnel-down signature.
             fast = runtime < args.fast_fail_seconds
+            if fast and reclaim_grace:
+                # we deleted a LIVE claim (--max-yield-seconds backstop);
+                # the claimer may still physically hold the TPU, so a fast
+                # launch failure here is 'chip still busy', not a code bug
+                # — spending the 4-strike fast-fail budget on it killed a
+                # legitimate >2h campaign in round 4 (ADVICE r4 #2)
+                reclaim_busy += 1
+                if reclaim_busy > args.max_launch_failures:
+                    log(f"[supervise] giving up: chip still busy "
+                        f"{reclaim_busy} launches after reclaim")
+                    return rc if rc else 1
+                log(f"[supervise] chip still busy after reclaim "
+                    f"({reclaim_busy}; rc={rc}); retrying after "
+                    f"{args.outage_backoff_seconds:.0f}s")
+                time.sleep(args.outage_backoff_seconds)
+                continue
             if fast and rc == last_fast_rc:
                 fast_fails += 1
             else:
