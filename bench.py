@@ -43,31 +43,16 @@ def _claim_chip(tag: str) -> None:
     atexit.register(release)
 
 
-def _calib_tflops(repeats: int = 3, inner: int = 8):
-    """Same-minute 4096^3 bf16 calibration matmul (TF/s, min-of-repeats).
+def _calib_tflops():
+    """Same-minute 4096^3 bf16 calibration rate (TF/s) — recorded alongside
+    every headline number so driver-captured results are interpretable
+    against the +-20% co-tenant noise on this shared chip (VERDICT r4 weak
+    #7: r01 48.0 vs r02 60.3 clips/s was environment, not regression — but
+    only PERFORMANCE.md readers knew).  None off TPU."""
+    from multimodal_diffusion_tpu.utils.profiling import calib_tflops
 
-    Recorded alongside every headline number so driver-captured results are
-    interpretable against the +-20% co-tenant noise on this shared chip
-    (VERDICT r4 weak #7: r01 48.0 vs r02 60.3 clips/s was environment, not
-    regression — but only PERFORMANCE.md readers knew).  Skipped (None) off
-    TPU: the point is the chip's achievable rate at capture time."""
-    import jax
-    import jax.numpy as jnp
-
-    if jax.default_backend() != "tpu":
-        return None
-    a = jnp.ones((4096, 4096), jnp.bfloat16)
-    f = jax.jit(lambda x: x @ x)
-    float(jnp.asarray(f(a)).ravel()[0])  # compile + warm
-    best = float("inf")
-    for _ in range(repeats):
-        y = a
-        t0 = time.perf_counter()
-        for _ in range(inner):
-            y = f(y)
-        float(jnp.asarray(y).ravel()[0])
-        best = min(best, (time.perf_counter() - t0) / inner)
-    return round(2 * 4096 ** 3 / best / 1e12, 1)
+    r = calib_tflops()
+    return None if r is None else round(r, 1)
 
 
 def main(argv=None):
@@ -282,6 +267,25 @@ def bench_train(args):
     float(m["loss"])  # forced host readback — block_until_ready alone can
     # return early on tunneled backends
     dt = (time.perf_counter() - t0) / n_iters
+
+    # training.recon_every lever: the run loop executes the recon-free
+    # executable on K-1 of every K steps; report the blended step time the
+    # campaign actually pays
+    extra = {}
+    if bundle.train_step_norecon is not None:
+        K = int(cfg["training"].get("recon_every", 1))
+        dt_recon = dt
+        state, m2 = bundle.train_step_norecon(state, dev_batch, tiv)
+        float(m2["loss"])  # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            state, m2 = bundle.train_step_norecon(state, dev_batch, tiv)
+        float(m2["loss"])
+        dt_nr = (time.perf_counter() - t0) / n_iters
+        dt = (dt_recon + (K - 1) * dt_nr) / K
+        extra = {"recon_step_ms": round(dt_recon * 1e3, 2),
+                 "norecon_step_ms": round(dt_nr * 1e3, 2),
+                 "recon_every": K}
     clips_per_sec = B / dt
 
     from multimodal_diffusion_tpu.utils.profiling import (
@@ -298,6 +302,7 @@ def bench_train(args):
         "step_ms": round(dt * 1e3, 2),
         "denoiser_mfu_est": round(mfu(flops / dt), 4),
         "calib_tflops": _calib_tflops(),
+        **extra,
     }))
 
 

@@ -68,6 +68,11 @@ class TrainerBundle:
     abar_v: jnp.ndarray
     abar_a: jnp.ndarray
     eval_step: Any = None
+    # recon-free variant of train_step, present iff training.recon_every > 1:
+    # the recon VAE decode (~8.7 ms of the 91 ms d=1024/16L step) runs only
+    # every K-th step; run_training alternates host-side (two compiled
+    # executables, no lax.cond branch bloat in one program)
+    train_step_norecon: Any = None
 
 
 # ---------------------------------------------------------------------------
@@ -102,20 +107,72 @@ def make_lr_schedule(cfg: Dict) -> optax.Schedule:
     return optax.constant_schedule(lr)
 
 
+def _scale_by_adam_mv(b1: float, b2: float, eps: float, mv_dtype):
+    """Adam moment scaling with BOTH moments stored in `mv_dtype` (bf16
+    halves optimizer-state HBM traffic — the d=1024/16L step decomposition
+    priced the Adam m/v read+write at ~8 ms of a 91 ms step).  All
+    arithmetic is fp32 (accumulate-then-round: the bf16 rounding happens
+    once per step on the STORED state, never inside the update math);
+    master params stay fp32.  optax.adamw's `mu_dtype` covers only the
+    first moment, so this is hand-rolled on optax.ScaleByAdamState."""
+
+    def init(params):
+        z = lambda p: jnp.zeros(jnp.shape(p), mv_dtype)  # noqa: E731
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree_util.tree_map(z, params),
+            nu=jax.tree_util.tree_map(z, params),
+        )
+
+    def update(updates, state, params=None):
+        del params
+        f32 = jnp.float32
+        mu = jax.tree_util.tree_map(
+            lambda g, m: (b1 * m.astype(f32)
+                          + (1.0 - b1) * g.astype(f32)).astype(mv_dtype),
+            updates, state.mu)
+        nu = jax.tree_util.tree_map(
+            lambda g, v: (b2 * v.astype(f32)
+                          + (1.0 - b2) * jnp.square(g.astype(f32))
+                          ).astype(mv_dtype),
+            updates, state.nu)
+        count = optax.safe_int32_increment(state.count)
+        bc1 = 1.0 - b1 ** count.astype(f32)
+        bc2 = 1.0 - b2 ** count.astype(f32)
+        out = jax.tree_util.tree_map(
+            lambda m, v: (m.astype(f32) / bc1)
+            / (jnp.sqrt(v.astype(f32) / bc2) + eps),
+            mu, nu)
+        return out, optax.ScaleByAdamState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(cfg: Dict) -> Tuple[optax.GradientTransformation, optax.Schedule]:
     t = cfg["training"]
     opt = t["optimizer"]
     lr_sched = make_lr_schedule(cfg)
     betas = opt.get("betas", (0.9, 0.95))
+    b1, b2 = float(betas[0]), float(betas[1])
+    eps = float(opt.get("eps", 1e-8))
+    wd = float(opt.get("weight_decay", 0.05))
+    mv = str(opt.get("mv_dtype", "fp32")).lower()
+    if mv in ("fp32", "float32", ""):
+        adamw = optax.adamw(learning_rate=lr_sched, b1=b1, b2=b2, eps=eps,
+                            weight_decay=wd)
+    elif mv in ("bf16", "bfloat16"):
+        # same decoupled-weight-decay composition as optax.adamw
+        adamw = optax.chain(
+            _scale_by_adam_mv(b1, b2, eps, jnp.bfloat16),
+            optax.add_decayed_weights(wd),
+            optax.scale_by_learning_rate(lr_sched),
+        )
+    else:
+        raise ValueError(
+            f"training.optimizer.mv_dtype must be fp32|bf16, got {mv!r}")
     tx = optax.chain(
         optax.clip_by_global_norm(float(t.get("grad_clip_norm", 1.0))),
-        optax.adamw(
-            learning_rate=lr_sched,
-            b1=float(betas[0]),
-            b2=float(betas[1]),
-            eps=float(opt.get("eps", 1e-8)),
-            weight_decay=float(opt.get("weight_decay", 0.05)),
-        ),
+        adamw,
     )
     accum = int(cfg["data"].get("grad_accum_steps", 1))
     if accum > 1:
@@ -557,27 +614,37 @@ def create_trainer(
         rng=jax.device_put(rng, replicated(mesh)),
     )
 
-    step_fn = build_train_step(
-        model,
-        tx,
-        abar_v,
-        abar_a,
-        shapes["z_video"],
-        shapes["z_audio"],
-        T_v,
-        T_a,
-        float(cfg["training"].get("cfg_drop_prob", 0.1)),
-        float(cfg["training"].get("align_loss_weight", 0.0)),
-        float(ema_cfg.get("decay", 0.999)),
-        use_ema,
-        recon_weight=float(cfg["training"].get("recon_loss_weight", 0.0)),
+    recon_weight = float(cfg["training"].get("recon_loss_weight", 0.0))
+    recon_every = cfg["training"].get("recon_every", 1)
+    recon_every = 1 if recon_every is None else int(recon_every)
+    if recon_every < 1:
+        raise ValueError(
+            f"training.recon_every must be >= 1, got {recon_every}")
+    step_kw = dict(
+        cfg_drop_prob=float(cfg["training"].get("cfg_drop_prob", 0.1)),
+        align_weight=float(cfg["training"].get("align_loss_weight", 0.0)),
+        ema_decay=float(ema_cfg.get("decay", 0.999)),
+        use_ema=use_ema,
         clean_cond_prob=float(cfg["training"].get("clean_cond_prob", 0.0)),
         sync_weight=float(cfg["training"].get("sync_loss_weight", 0.0)),
         sync_tau=float(cfg["training"].get("sync_tau", 0.1)),
         sync_source=sync_source,
         ema_scope=ema_scope,
     )
+    step_fn = build_train_step(
+        model, tx, abar_v, abar_a, shapes["z_video"], shapes["z_audio"],
+        T_v, T_a, recon_weight=recon_weight, **step_kw,
+    )
     train_step = jax.jit(step_fn, donate_argnums=(0,))
+    train_step_norecon = None
+    if recon_weight > 0.0 and recon_every > 1:
+        train_step_norecon = jax.jit(
+            build_train_step(
+                model, tx, abar_v, abar_a, shapes["z_video"],
+                shapes["z_audio"], T_v, T_a, recon_weight=0.0, **step_kw,
+            ),
+            donate_argnums=(0,),
+        )
 
     eval_step = jax.jit(
         build_eval_step(model, abar_v, abar_a, shapes["z_video"],
@@ -594,6 +661,7 @@ def create_trainer(
         abar_v=abar_v,
         abar_a=abar_a,
         eval_step=eval_step,
+        train_step_norecon=train_step_norecon,
     )
 
 
@@ -627,6 +695,7 @@ def run_training(
     log_every = int(t_cfg.get("log_every", 50))
     ckpt_every = int(t_cfg.get("ckpt_every", 5000))
     val_every = int(t_cfg.get("val_every", 0) or 0)
+    recon_every = int(t_cfg.get("recon_every", 1) or 1)
     schedule = Any2AnySchedule(
         t_cfg.get("any2any_targets", {"video": 0.5, "audio": 0.5}),
         seed=int(cfg.get("seed", 0)),
@@ -659,6 +728,17 @@ def run_training(
                                 core.mlp_ratio))
     except Exception:
         _denoiser_flops_per_step = None
+    # run-start chip calibration: the datasheet-MFU number alone invites
+    # misreading on this shared chip (7.3% of datasheet = ~1.4x the chip's
+    # own same-minute matmul ceiling, PERFORMANCE.md "Step decomposition");
+    # logging MFU relative to the measured ceiling makes the live metric
+    # the honest one.  None off TPU.
+    from ..utils.profiling import calib_tflops as _calib_fn
+
+    try:
+        _calib = _calib_fn()
+    except Exception:
+        _calib = None
     B_, _, T_, H_, W_ = bundle.latent_shapes["video"]
     # default must MATCH the dataset side: RecordDataset defaults
     # device_preprocess=True (train_joint), so a records run without the
@@ -707,7 +787,14 @@ def run_training(
     stream = device_prefetch(islice(batches, n_todo), prep_and_put,
                              depth=prefetch_depth)
     for step_i, (dev_batch, tiv) in enumerate(stream, start=start_step):
-        state, metrics = bundle.train_step(state, dev_batch, tiv)
+        # recon decode only on every recon_every-th step (config-gated,
+        # default 1 = reference-faithful every step); the alternate
+        # executable shares state layout so donation alternates cleanly
+        step_fn = bundle.train_step
+        if (bundle.train_step_norecon is not None
+                and (step_i + 1) % recon_every != 0):
+            step_fn = bundle.train_step_norecon
+        state, metrics = step_fn(state, dev_batch, tiv)
         if log_fn is not None:
             pending.append(metrics)  # device arrays; host-synced per interval
 
@@ -724,6 +811,9 @@ def run_training(
             agg["clips_per_sec"] = bundle.latent_shapes["video"][0] / dt
             if _denoiser_flops_per_step is not None:
                 agg["denoiser_mfu"] = mfu_util(_denoiser_flops_per_step / dt)
+                if _calib:
+                    agg["denoiser_mfu_vs_calib"] = (
+                        _denoiser_flops_per_step / dt / 1e12) / _calib
             t_last = now
             log_fn(new_step, agg)
             pending = []

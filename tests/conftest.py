@@ -27,6 +27,19 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# silence XLA:CPU AOT-loader feature-list chatter from the persistent cache
+# (same-host reloads; the "+prefer-no-*" pseudo-features are XLA-internal)
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compile cache: the fast tier is compile-bound (same programs
+# re-jitted every run), and the 1-core box pays 10-30 s per trainer
+# compile under campaign contention.  A warm cache turns repeat runs —
+# the actual iterate-while-a-campaign-runs workflow — from ~18 min to
+# inside the 5-min budget (VERDICT r4 weak #6).
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/mmdiff_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
