@@ -41,6 +41,9 @@ def make_ddim_sampler(
     param: str = "eps",
     sampler: str = "ddim",
     cfg_rescale: float = 0.0,
+    sync_guidance_scale: float = 0.0,
+    sync_guidance_source: str = "auto",  # auto|mouth|video
+    sync_tau: float = 0.1,
 ):
     """Returns sample(params, z_prompt, z_init, rng, tok_mouth) -> final
     target latent.
@@ -62,6 +65,25 @@ def make_ddim_sampler(
     multistep ODE solver — ~2x fewer steps at matched quality; the x0/h
     multistep state rides the same scan carry; deterministic, so eta must
     be 0).
+
+    `sync_guidance_scale` (v2a only): classifier guidance from the model's
+    OWN trained sync pathway — at each step the gradient of the temporal
+    InfoNCE (train/losses.sync_contrastive_loss) between the conditioning
+    video/mouth features and the current noisy-audio features w.r.t. the
+    audio latent is added to eps-hat, steering the trajectory toward
+    audio whose envelope FOLLOWS the mouth in time.  This is the
+    pre-declared inference-side timing lever (ROADMAP r5 #3): the r4/r5
+    attribution campaign showed the TRAINING-side mouth-sync objective
+    converges on train yet anti-correlates with held-out timing late in
+    training, while the v4 CFG sweep showed sampling-time guidance moves
+    timing gaps — so the lever belongs at inference.  The gradient is
+    per-sample RMS-normalized (InfoNCE gradient magnitude varies by
+    orders of magnitude across t) and scaled by sqrt(1-abar_t) like a
+    classifier-guidance score.  Costs one extra fwd+bwd per step, ~2.5x
+    step time; 0.0 (default) compiles it away entirely.
+    `sync_guidance_source`: which trained feature stream carries timing —
+    "mouth" (16 Hz mouth tokens; needs conditioning.mouth_crop + frames),
+    "video" (main latent grid, ~2.7 Hz), or "auto" (mouth when available).
     """
     if target not in {"audio", "video"}:
         raise ValueError("target must be 'audio' or 'video'")
@@ -70,6 +92,16 @@ def make_ddim_sampler(
     if sampler == "dpmpp_2m" and eta > 0.0:
         raise ValueError("dpmpp_2m is a deterministic ODE solver; "
                          "sampling.ddim_eta must be 0")
+    sync_g = float(sync_guidance_scale)
+    if sync_g > 0.0 and target != "audio":
+        raise ValueError("sync_guidance_scale is a v2a (audio-target) "
+                         "lever; build the a2v sampler with 0")
+    if sync_g > 0.0 and param != "eps":
+        raise ValueError("sync guidance adds a score term in eps space; "
+                         f"param={param!r} is unsupported with it")
+    if sync_guidance_source not in {"auto", "mouth", "video"}:
+        raise ValueError(f"sync_guidance_source must be auto|mouth|video, "
+                         f"got {sync_guidance_source!r}")
     sched_pairs = jnp.stack(
         [jnp.asarray(sched[:-1], jnp.int32), jnp.asarray(sched[1:], jnp.int32)],
         axis=1,
@@ -107,6 +139,8 @@ def make_ddim_sampler(
         t_zero = jnp.zeros((2 * B,), jnp.int32)
 
         mouth_kw = {}
+        have_mouth = model.cfg.mouth_enabled and tok_mouth is not None
+        mgrid = None
         if model.cfg.mouth_enabled:
             mt, mh, mw = model.cfg.mouth_tube
             ch, cw = model.cfg.mouth_crop_hw
@@ -125,6 +159,14 @@ def make_ddim_sampler(
                 "keep_m": keep_m2,
                 "mouth_grid": mgrid,
             }
+
+        sync_src = sync_guidance_source
+        if sync_src == "auto":
+            sync_src = "mouth" if have_mouth else "video"
+        if sync_g > 0.0 and sync_src == "mouth" and not have_mouth:
+            raise ValueError(
+                "sync_guidance_source: mouth needs conditioning.mouth_crop "
+                "enabled AND frames (tok_mouth) at the call site")
 
         if rng is None:
             rng = jax.random.PRNGKey(0)
@@ -174,6 +216,48 @@ def make_ddim_sampler(
                 eps_lat = model.apply(var, eps_hat_tok, z.shape,
                                       method=model.untokenize_video)
 
+            if sync_g > 0.0:
+                # classifier guidance on the model's own sync pathway:
+                # eps' = eps - sqrt(1-abar_t) * grad_z log p(sync|z)
+                #      = eps + sqrt(1-abar_t) * grad_z InfoNCE(z)
+                onesB = jnp.ones((B,), jnp.float32)
+                tzB = jnp.zeros((B,), jnp.int32)
+                t_tgtB = jnp.full((B,), t_now, jnp.int32)
+                kw1 = {}
+                if model.cfg.mouth_enabled:
+                    kw1 = {"tok_m": tok_mouth,
+                           "keep_m": onesB if have_mouth
+                           else jnp.zeros((B,), jnp.float32),
+                           "mouth_grid": mgrid}
+
+                def sync_loss_of(z_x):
+                    from ..train.losses import sync_contrastive_loss
+
+                    tok_t = model.apply(var, z_x,
+                                        method=model.tokenize_audio)
+                    out1 = model.apply(
+                        var, tok_prompt, tok_t, tzB, t_tgtB, grid,
+                        onesB, onesB, True,
+                        method=model.denoise_tokens, **kw1)
+                    if sync_src == "mouth":
+                        h_sync, chunks = out1["h_m"], mgrid[0]
+                    else:
+                        h_sync, chunks = out1["h_v"], grid[0]
+                    return sync_contrastive_loss(
+                        h_sync, out1["h_a"], chunks, weight=1.0,
+                        tau=sync_tau)
+
+                grad_sync = jax.grad(sync_loss_of)(z)
+                # per-sample RMS normalization: the InfoNCE gradient spans
+                # orders of magnitude across t; normalized, sync_g acts as
+                # a fixed fraction of the eps update
+                ax = tuple(range(1, z.ndim))
+                rms = jnp.sqrt(
+                    jnp.mean(jnp.square(grad_sync), axis=ax, keepdims=True)
+                    + 1e-12)
+                coef = jnp.sqrt(jnp.maximum(1.0 - abar[t_now], 0.0))
+                eps_lat = eps_lat + sync_g * coef * grad_sync / rms
+
             key, sub = jax.random.split(key)
             tb = jnp.full((B,), t_now, jnp.int32)
             pb = jnp.full((B,), t_prev, jnp.int32)
@@ -220,9 +304,17 @@ def sampler_from_config(
     rescale = float(cfg["sampling"].get("cfg_rescale", 0.0))
     eta = float(cfg["sampling"].get("ddim_eta", 0.0))
     sampler = str(cfg["sampling"].get("sampler", "ddim"))
+    # sync guidance is an audio-target (v2a) lever; a shared config builds
+    # the a2v direction without it rather than erroring
+    sync_g = (float(cfg["sampling"].get("sync_guidance_scale", 0.0))
+              if target == "audio" else 0.0)
     sample = make_ddim_sampler(
         model, target=target, sched=sched, alpha_bar=abar,
         guidance_scale=guide, eta=eta, param=str(dc.get("param", "eps")),
         sampler=sampler, cfg_rescale=rescale,
+        sync_guidance_scale=sync_g,
+        sync_guidance_source=str(
+            cfg["sampling"].get("sync_guidance_source", "auto")),
+        sync_tau=float(cfg["sampling"].get("sync_tau", 0.1)),
     )
     return jax.jit(sample), sched

@@ -139,6 +139,83 @@ def test_recon_every_default_is_single_step():
     assert bundle.train_step_norecon is None
 
 
+def test_sync_guidance_validation():
+    """sync guidance is a v2a eps-space lever: a2v targets, non-eps
+    parameterizations and unknown sources fail loudly at build time."""
+    from multimodal_diffusion_tpu.infer.ddim import make_ddim_sampler
+    from multimodal_diffusion_tpu.models.diffusion import (
+        AVDiffusionConfig, AVDiffusionModel,
+    )
+    from multimodal_diffusion_tpu.ops import schedule as S
+
+    cfg = tiny_cfg()
+    model = AVDiffusionModel(AVDiffusionConfig.from_config(cfg))
+    _, abar = S.alphas_cumprod_from_betas(S.make_beta_schedule(100))
+    sched = S.make_sampling_schedule(100, 4)
+    for kw, match in (
+        (dict(target="video"), "v2a"),
+        (dict(target="audio", param="x0"), "eps space"),
+        (dict(target="audio", sync_guidance_source="lips"), "source"),
+    ):
+        with pytest.raises(ValueError, match=match):
+            make_ddim_sampler(model, sched=sched, alpha_bar=abar,
+                              guidance_scale=3.0, sync_guidance_scale=1.0,
+                              **kw)
+
+
+@pytest.mark.slow
+def test_sync_guided_sampling_steers_v2a():
+    """ROADMAP r5 #3: classifier guidance from the trained sync pathway.
+    The guided trajectory must differ from the unguided one (the score
+    term is live), stay finite, and scale 0 must compile the lever away
+    (bit-identical to the baseline sampler)."""
+    import jax
+
+    from multimodal_diffusion_tpu.infer.ddim import sampler_from_config
+    from multimodal_diffusion_tpu.train.trainer import create_trainer
+
+    cfg = tiny_cfg()
+    cfg["conditioning"] = {"mouth_crop": {
+        "enabled": True, "box": [16, 32, 8, 24],
+        "tube": {"t": 1, "h": 4, "w": 4}}}
+    bundle = create_trainer(cfg)
+    model, params = bundle.model, bundle.state.params
+    var = {"params": params}
+
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.uniform(0, 1, (2, 3, 8, 32, 32)), jnp.float32)
+    z_prompt = model.apply(var, frames, method=model.encode_video,
+                           rngs={"vae": jax.random.PRNGKey(0)})
+    tok_m = model.apply(var, frames, method=model.mouth_tokens)
+    z_init = jnp.asarray(rng.standard_normal((2, 8, 50)), jnp.float32)
+    key = jax.random.PRNGKey(1)
+
+    base_fn, _ = sampler_from_config(model, tiny_like(cfg, 0.0), "audio")
+    base = np.asarray(base_fn(params, z_prompt, z_init, key, tok_m))
+    base2 = np.asarray(base_fn(params, z_prompt, z_init, key, tok_m))
+    np.testing.assert_array_equal(base, base2)  # deterministic baseline
+
+    guided_fn, _ = sampler_from_config(model, tiny_like(cfg, 2.0), "audio")
+    guided = np.asarray(guided_fn(params, z_prompt, z_init, key, tok_m))
+    assert np.isfinite(guided).all()
+    assert guided.shape == base.shape
+    assert not np.allclose(guided, base), "sync guidance changed nothing"
+
+    # explicit scale 0 == baseline exactly (lever compiled away)
+    zero_fn, _ = sampler_from_config(model, tiny_like(cfg, 0.0), "audio")
+    np.testing.assert_array_equal(
+        np.asarray(zero_fn(params, z_prompt, z_init, key, tok_m)), base)
+
+
+def tiny_like(cfg, sync_scale):
+    import copy
+
+    c = copy.deepcopy(cfg)
+    c["sampling"]["sync_guidance_scale"] = sync_scale
+    c["diffusion"]["audio"]["sampler_steps"] = 3
+    return c
+
+
 @pytest.mark.slow
 def test_mv_dtype_bf16_full_train_step_loss_parity():
     """End-to-end: the full jitted AV train step under bf16 moments tracks
