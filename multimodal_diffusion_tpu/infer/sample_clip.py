@@ -157,6 +157,10 @@ def get_sampler(model: AVDiffusionModel, cfg: Dict, target: str):
         float(samp.get("cfg_rescale", 0.0)),
         str(samp.get("sampler", "ddim")),
         str(dc.get("param", "eps")),
+        # sync-guidance settings change the compiled program (r5 lever)
+        float(samp.get("sync_guidance_scale", 0.0)),
+        str(samp.get("sync_guidance_source", "auto")),
+        float(samp.get("sync_tau", 0.1)),
     )
     if key not in _SAMPLER_CACHE:
         _SAMPLER_CACHE[key] = sampler_from_config(model, cfg, target)[0]
