@@ -96,9 +96,8 @@ def make_ddim_sampler(
     if sync_g > 0.0 and target != "audio":
         raise ValueError("sync_guidance_scale is a v2a (audio-target) "
                          "lever; build the a2v sampler with 0")
-    if sync_g > 0.0 and param != "eps":
-        raise ValueError("sync guidance adds a score term in eps space; "
-                         f"param={param!r} is unsupported with it")
+    if sync_g > 0.0 and param not in {"eps", "x0", "v"}:
+        raise ValueError(f"sync guidance: unknown param {param!r}")
     if sync_guidance_source not in {"auto", "mouth", "video"}:
         raise ValueError(f"sync_guidance_source must be auto|mouth|video, "
                          f"got {sync_guidance_source!r}")
@@ -255,8 +254,19 @@ def make_ddim_sampler(
                 rms = jnp.sqrt(
                     jnp.mean(jnp.square(grad_sync), axis=ax, keepdims=True)
                     + 1e-12)
-                coef = jnp.sqrt(jnp.maximum(1.0 - abar[t_now], 0.0))
-                eps_lat = eps_lat + sync_g * coef * grad_sync / rms
+                a_t = abar[t_now]
+                coef = jnp.sqrt(jnp.maximum(1.0 - a_t, 0.0))
+                # the score term lives in eps space; convert the increment
+                # to the model's output parameterization (z held fixed):
+                #   d(x0)/d(eps) = -sqrt(1-abar)/sqrt(abar)
+                #   d(v)/d(eps)  = 1/sqrt(abar)
+                if param == "x0":
+                    k = -coef / jnp.sqrt(jnp.maximum(a_t, 1e-12))
+                elif param == "v":
+                    k = 1.0 / jnp.sqrt(jnp.maximum(a_t, 1e-12))
+                else:
+                    k = 1.0
+                eps_lat = eps_lat + k * sync_g * coef * grad_sync / rms
 
             key, sub = jax.random.split(key)
             tb = jnp.full((B,), t_now, jnp.int32)

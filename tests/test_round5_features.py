@@ -154,13 +154,19 @@ def test_sync_guidance_validation():
     sched = S.make_sampling_schedule(100, 4)
     for kw, match in (
         (dict(target="video"), "v2a"),
-        (dict(target="audio", param="x0"), "eps space"),
+        (dict(target="audio", param="x1"), "param"),
         (dict(target="audio", sync_guidance_source="lips"), "source"),
     ):
         with pytest.raises(ValueError, match=match):
             make_ddim_sampler(model, sched=sched, alpha_bar=abar,
                               guidance_scale=3.0, sync_guidance_scale=1.0,
                               **kw)
+    # x0/v parameterizations build fine (the score converts from eps space
+    # — the flagship/control configs run diffusion.audio.param: x0)
+    for p in ("x0", "v"):
+        make_ddim_sampler(model, target="audio", sched=sched, alpha_bar=abar,
+                          guidance_scale=3.0, sync_guidance_scale=1.0,
+                          param=p)
 
 
 @pytest.mark.slow
@@ -205,6 +211,14 @@ def test_sync_guided_sampling_steers_v2a():
     zero_fn, _ = sampler_from_config(model, tiny_like(cfg, 0.0), "audio")
     np.testing.assert_array_equal(
         np.asarray(zero_fn(params, z_prompt, z_init, key, tok_m)), base)
+
+    # the real flagship/control operating point: x0 audio param + guidance
+    # (the score increment converts from eps to x0 space)
+    c = tiny_like(cfg, 2.0)
+    c["diffusion"]["audio"]["param"] = "x0"
+    x0_fn, _ = sampler_from_config(model, c, "audio")
+    assert np.isfinite(
+        np.asarray(x0_fn(params, z_prompt, z_init, key, tok_m))).all()
 
 
 def tiny_like(cfg, sync_scale):
