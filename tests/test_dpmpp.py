@@ -133,6 +133,7 @@ def test_sampler_config_plumbing_and_eta_guard():
         sampler_from_config(model_b, bad, "audio")
 
 
+@pytest.mark.slow
 def test_dpmpp_end_to_end_tiny_model():
     """Full V->A sampling through the scan sampler with sampler=dpmpp_2m."""
     import sys

@@ -73,6 +73,7 @@ def test_flash_pallas_backward_matches_reference(shape):
         )
 
 
+@pytest.mark.slow
 def test_flash_backward_is_memory_linear():
     """At N=8192 the grad computation must never materialize an N x N
     tensor (round-1's backward recomputed through the O(N^2) XLA path)."""
@@ -122,6 +123,7 @@ def test_flash_key_padding_mask_matches_reference(shape):
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_flash_key_padding_mask_backward():
     from multimodal_diffusion_tpu.ops.attention import padding_bias
     from multimodal_diffusion_tpu.ops.flash_attention import flash_attention

@@ -1,6 +1,7 @@
 """Pixel-space DDPM family: train-step learning + scan ancestral sampler
 (BASELINE config #1, CPU-runnable)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -49,6 +50,7 @@ def test_ddpm_step_variance_and_t0():
     assert not np.allclose(np.asarray(out5), np.asarray(out5_nz))
 
 
+@pytest.mark.slow
 def test_pixel_train_learns_and_sampler_runs():
     model = PixelDiT(TINY)
     rng = jax.random.PRNGKey(0)

@@ -61,6 +61,7 @@ def test_mmdit_token_dropout_train_mode():
     assert not np.allclose(np.asarray(y_det), np.asarray(y_trn))
 
 
+@pytest.mark.slow
 def test_mmdit_attn_dropout_train_mode():
     """attn_dropout drops attention PROBABILITIES at train time (reference
     nn.MultiheadAttention semantics, mmdt.py:51-61) — it used to be parsed
@@ -98,6 +99,7 @@ def test_mmdit_rope_runs():
     assert y.shape == x.shape and np.isfinite(np.asarray(y)).all()
 
 
+@pytest.mark.slow
 def test_noise_heads_shapes():
     # distinct Nv=96 / Na=37 like reference test_shapes.py:79-107
     hv = jax.random.normal(KEY, (2, 96, 64))
@@ -131,6 +133,7 @@ def test_shared_parameters_head():
     assert not any("spec_video_0" in n for n in names)
 
 
+@pytest.mark.slow
 def test_video_vae_shapes():
     cfg = VideoVAEConfig(lat_ch=8, t_down=4, s_down=8, enc_base=16, dec_base=16,
                          enc_blocks=1, dec_blocks=1)
@@ -144,6 +147,7 @@ def test_video_vae_shapes():
     assert float(jnp.min(xr)) >= 0.0 and float(jnp.max(xr)) <= 1.0  # sigmoid
 
 
+@pytest.mark.slow
 def test_video_vae_center_crop():
     cfg = VideoVAEConfig(lat_ch=4, t_down=4, s_down=8, enc_base=8, dec_base=8,
                          enc_blocks=1, dec_blocks=1)
@@ -180,6 +184,7 @@ def test_audio_codec_shapes():
     assert float(jnp.max(jnp.abs(y))) <= 1.0  # tanh
 
 
+@pytest.mark.slow
 def test_audio_codec_free_running_frames():
     """Without frames_per_clip: Fa = ceil(L / hop) (reference 159-180)."""
     cfg = AudioCodecConfig(lat_ch=4, hidden=8, frames_per_clip=None,
@@ -199,6 +204,7 @@ def test_audio_codec_config_hop_from_ms():
     assert cfg.hop_samples == 320 and cfg.frames_per_clip == 150
 
 
+@pytest.mark.slow
 def test_adapters():
     x = jax.random.normal(KEY, (2, 7, 12))
     a = LinearAdapter(32)

@@ -46,6 +46,7 @@ def _make_stages(n_stages, d=32, layers_per_stage=2, seed=0):
     return stage_fn, per_stage
 
 
+@pytest.mark.slow
 def test_pipeline_matches_sequential(pipe_mesh):
     stage_fn, per_stage = _make_stages(4)
     stacked = stack_stage_params(per_stage)
@@ -99,6 +100,7 @@ def test_pipeline_rejects_bad_microbatching(pipe_mesh):
         pipeline_apply(stage_fn, stacked, x, pipe_mesh, n_microbatches=4)
 
 
+@pytest.mark.slow
 def test_mmdit_pipeline_apply_matches_core(pipe_mesh):
     """Pipelined apply of an ORDINARY MMDiT checkpoint param tree == the
     plain core forward (8 layers -> 4 stages x 2 blocks)."""

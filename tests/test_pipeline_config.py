@@ -51,6 +51,7 @@ def test_pipe_train_step_parity():
     assert float(m["loss"]) == pytest.approx(float(m_ref["loss"]), abs=1e-3)
 
 
+@pytest.mark.slow
 def test_pipe_sampling_runs():
     """DDIM sampling with the pipelined core (config-reachable inference)."""
     from multimodal_diffusion_tpu.infer.ddim import sampler_from_config

@@ -59,6 +59,7 @@ def _cfg(**kw):
     return MMDiTConfig(**base)
 
 
+@pytest.mark.slow
 def test_mmdit_int8_inference_tracks_fp32():
     ref = MMDiT(_cfg())
     q = MMDiT(_cfg(quant="int8"))

@@ -34,6 +34,7 @@ def test_patch_vae_round_trip_shapes(variational):
         assert kld is not None and float(kld) >= 0.0
 
 
+@pytest.mark.slow
 def test_patch_vae_trains_reconstruction():
     """A few Adam steps on one batch reduce reconstruction error (the
     tubelet embed + latent-res conv path is trainable end-to-end)."""
@@ -117,6 +118,7 @@ def test_prediction_target():
         - np.sqrt(1 - a) * np.asarray(x0), rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_train_and_sample_with_x0_audio_param():
     """End-to-end: x0-parameterized audio branch trains and samples."""
     from multimodal_diffusion_tpu.infer.ddim import sampler_from_config

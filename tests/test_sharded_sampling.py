@@ -11,6 +11,7 @@ import pytest
 from tests._tiny import tiny_cfg
 
 
+@pytest.mark.slow
 def test_sampler_batch_sharded_matches_single_device():
     from multimodal_diffusion_tpu.infer.ddim import sampler_from_config
     from multimodal_diffusion_tpu.parallel.mesh import make_mesh

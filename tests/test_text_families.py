@@ -108,6 +108,7 @@ def test_t2i_sample_with_negative_prompt(t2i):
     assert not np.array_equal(imgs, imgs2)
 
 
+@pytest.mark.slow
 def test_t2a_mel_family():
     from flax.core import meta
 
@@ -167,6 +168,7 @@ def test_griffin_lim_reconstructs_tone():
     assert abs(freq[int(np.argmax(spec))] - 440.0) < 10.0
 
 
+@pytest.mark.slow
 def test_t2i_dpmpp_sampler(t2i):
     """sampler="dpmpp_2m" on the t2i scan (same switch as the AV path):
     finite output, differs from DDIM at the same budget, eta guard."""

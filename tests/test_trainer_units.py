@@ -59,6 +59,7 @@ def test_compute_dtype_selection():
     assert compute_dtype_from_config({}) == jnp.float32
 
 
+@pytest.mark.slow
 def test_minimal_init_shapes_match_param_tree():
     """Params initialized at minimal shapes are identical in STRUCTURE and
     SHAPES to params initialized at full shapes."""

@@ -44,7 +44,8 @@ eval_one () {  # model(ctrl|v7) source scale n
   echo "[guide] $model src=$src scale=$scale n=$n"
   timeout 7200 python tools/eval_av_quality.py \
     --config configs/mvp.yaml $cfgs "$ov" \
-    --n "$n" --ema --seed 0 --spread --out "$out" 2>/dev/null | tail -2
+    --n "$n" --ema --seed 0 --spread --out "$out" \
+    2>"runs/sync_guide/err_${model}_${src}_s${scale}_n${n}.log" | tail -2
   if [ -f "$out" ]; then
     git add "$out" && git commit -q -m "sync-guide eval: $model src=$src scale=$scale n=$n" || true
   else
