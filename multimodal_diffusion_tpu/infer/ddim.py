@@ -44,6 +44,7 @@ def make_ddim_sampler(
     sync_guidance_scale: float = 0.0,
     sync_guidance_source: str = "auto",  # auto|mouth|video
     sync_tau: float = 0.1,
+    sync_guidance_norm: str = "rms",  # rms|raw
 ):
     """Returns sample(params, z_prompt, z_init, rng, tok_mouth) -> final
     target latent.
@@ -101,6 +102,9 @@ def make_ddim_sampler(
     if sync_guidance_source not in {"auto", "mouth", "video"}:
         raise ValueError(f"sync_guidance_source must be auto|mouth|video, "
                          f"got {sync_guidance_source!r}")
+    if sync_guidance_norm not in {"rms", "raw"}:
+        raise ValueError(f"sync_guidance_norm must be rms|raw, "
+                         f"got {sync_guidance_norm!r}")
     sched_pairs = jnp.stack(
         [jnp.asarray(sched[:-1], jnp.int32), jnp.asarray(sched[1:], jnp.int32)],
         axis=1,
@@ -247,13 +251,22 @@ def make_ddim_sampler(
                         tau=sync_tau)
 
                 grad_sync = jax.grad(sync_loss_of)(z)
-                # per-sample RMS normalization: the InfoNCE gradient spans
-                # orders of magnitude across t; normalized, sync_g acts as
-                # a fixed fraction of the eps update
-                ax = tuple(range(1, z.ndim))
-                rms = jnp.sqrt(
-                    jnp.mean(jnp.square(grad_sync), axis=ax, keepdims=True)
-                    + 1e-12)
+                if sync_guidance_norm == "rms":
+                    # per-sample RMS normalization: sync_g acts as a fixed
+                    # fraction of the eps update.  MEASURED CAVEAT
+                    # (docs/sync_guide_r5/): this injects an eps-scale
+                    # perturbation even at steps where the sync gradient
+                    # is uninformative noise — at s>=1 the content cost
+                    # (gap_logmel) is scale-insensitive (~-0.43) while
+                    # timing moves; prefer small scales or norm="raw".
+                    ax = tuple(range(1, z.ndim))
+                    rms = jnp.sqrt(
+                        jnp.mean(jnp.square(grad_sync), axis=ax,
+                                 keepdims=True) + 1e-12)
+                    grad_sync = grad_sync / rms
+                # norm="raw": use the gradient as-is — its magnitude IS the
+                # informativeness signal (large only where the sync score
+                # has a real slope), so uninformative steps inject ~nothing
                 a_t = abar[t_now]
                 coef = jnp.sqrt(jnp.maximum(1.0 - a_t, 0.0))
                 # the score term lives in eps space; convert the increment
@@ -266,7 +279,7 @@ def make_ddim_sampler(
                     k = 1.0 / jnp.sqrt(jnp.maximum(a_t, 1e-12))
                 else:
                     k = 1.0
-                eps_lat = eps_lat + k * sync_g * coef * grad_sync / rms
+                eps_lat = eps_lat + k * sync_g * coef * grad_sync
 
             key, sub = jax.random.split(key)
             tb = jnp.full((B,), t_now, jnp.int32)
@@ -326,5 +339,7 @@ def sampler_from_config(
         sync_guidance_source=str(
             cfg["sampling"].get("sync_guidance_source", "auto")),
         sync_tau=float(cfg["sampling"].get("sync_tau", 0.1)),
+        sync_guidance_norm=str(
+            cfg["sampling"].get("sync_guidance_norm", "rms")),
     )
     return jax.jit(sample), sched

@@ -161,6 +161,7 @@ def get_sampler(model: AVDiffusionModel, cfg: Dict, target: str):
         float(samp.get("sync_guidance_scale", 0.0)),
         str(samp.get("sync_guidance_source", "auto")),
         float(samp.get("sync_tau", 0.1)),
+        str(samp.get("sync_guidance_norm", "rms")),
     )
     if key not in _SAMPLER_CACHE:
         _SAMPLER_CACHE[key] = sampler_from_config(model, cfg, target)[0]

@@ -220,6 +220,15 @@ def test_sync_guided_sampling_steers_v2a():
     assert np.isfinite(
         np.asarray(x0_fn(params, z_prompt, z_init, key, tok_m))).all()
 
+    # raw-gradient norm mode (informativeness-weighted injection): runs,
+    # finite, and differs from the rms-normalized trajectory
+    craw = tiny_like(cfg, 2.0)
+    craw["sampling"]["sync_guidance_norm"] = "raw"
+    raw_fn, _ = sampler_from_config(model, craw, "audio")
+    raw = np.asarray(raw_fn(params, z_prompt, z_init, key, tok_m))
+    assert np.isfinite(raw).all()
+    assert not np.allclose(raw, guided)
+
 
 def tiny_like(cfg, sync_scale):
     import copy
