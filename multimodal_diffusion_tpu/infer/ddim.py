@@ -45,6 +45,7 @@ def make_ddim_sampler(
     sync_guidance_source: str = "auto",  # auto|mouth|video
     sync_tau: float = 0.1,
     sync_guidance_norm: str = "rms",  # rms|raw
+    sync_guidance_min_abar: float = 0.0,
 ):
     """Returns sample(params, z_prompt, z_init, rng, tok_mouth) -> final
     target latent.
@@ -279,6 +280,18 @@ def make_ddim_sampler(
                     k = 1.0 / jnp.sqrt(jnp.maximum(a_t, 1e-12))
                 else:
                     k = 1.0
+                # Late-step gate (sync_guidance_min_abar): under the x0/v
+                # parameterizations the eps->pred conversion k ~ 1/sqrt(abar)
+                # explodes at the earliest steps (abar ~ 1e-4 -> ~100x), so
+                # an RMS-normalized injection there randomizes the
+                # trajectory start and destroys content at ANY scale — the
+                # measured scale-INSENSITIVE gap_logmel ~ -0.43 across
+                # s in {0.5, 1, 2, 4} (docs/sync_guide_r5/).  Timing is a
+                # late-stage refinement: gate the score to steps where the
+                # audio has formed (abar_t above the threshold).
+                if sync_guidance_min_abar > 0.0:
+                    k = k * (a_t >= sync_guidance_min_abar).astype(
+                        jnp.float32)
                 eps_lat = eps_lat + k * sync_g * coef * grad_sync
 
             key, sub = jax.random.split(key)
@@ -341,5 +354,7 @@ def sampler_from_config(
         sync_tau=float(cfg["sampling"].get("sync_tau", 0.1)),
         sync_guidance_norm=str(
             cfg["sampling"].get("sync_guidance_norm", "rms")),
+        sync_guidance_min_abar=float(
+            cfg["sampling"].get("sync_guidance_min_abar", 0.0)),
     )
     return jax.jit(sample), sched

@@ -162,6 +162,7 @@ def get_sampler(model: AVDiffusionModel, cfg: Dict, target: str):
         str(samp.get("sync_guidance_source", "auto")),
         float(samp.get("sync_tau", 0.1)),
         str(samp.get("sync_guidance_norm", "rms")),
+        float(samp.get("sync_guidance_min_abar", 0.0)),
     )
     if key not in _SAMPLER_CACHE:
         _SAMPLER_CACHE[key] = sampler_from_config(model, cfg, target)[0]

@@ -229,6 +229,22 @@ def test_sync_guided_sampling_steers_v2a():
     assert np.isfinite(raw).all()
     assert not np.allclose(raw, guided)
 
+    # late-step gate: min_abar = 1.0 disables every step's injection, so
+    # the gated trajectory must equal the unguided baseline; 0 < gate < 1
+    # must differ from both
+    cgate = tiny_like(cfg, 2.0)
+    cgate["sampling"]["sync_guidance_min_abar"] = 1.1
+    gate_fn, _ = sampler_from_config(model, cgate, "audio")
+    np.testing.assert_allclose(
+        np.asarray(gate_fn(params, z_prompt, z_init, key, tok_m)), base,
+        rtol=0, atol=0)
+    cmid = tiny_like(cfg, 2.0)
+    cmid["sampling"]["sync_guidance_min_abar"] = 0.5
+    mid_fn, _ = sampler_from_config(model, cmid, "audio")
+    mid = np.asarray(mid_fn(params, z_prompt, z_init, key, tok_m))
+    assert np.isfinite(mid).all()
+    assert not np.allclose(mid, base) and not np.allclose(mid, guided)
+
 
 def tiny_like(cfg, sync_scale):
     import copy
